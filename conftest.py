@@ -1,0 +1,29 @@
+"""Root pytest config: force the CPU backend with a virtual 8-device mesh.
+
+Tests never touch the real TPU (SURVEY.md §4): sharding logic is validated on
+`--xla_force_host_platform_device_count=8` CPU devices; the axon TPU tunnel
+(ambient JAX_PLATFORMS=axon) has multi-second per-dispatch latency and must
+not be used for unit tests.
+
+IMPORTANT platform quirk: the axon sitecustomize hook imports jax at
+interpreter startup, so os.environ tweaks here are TOO LATE for env-read
+configs. `jax.config.update` still works because the backend itself is not
+initialized until first use — so that is the mechanism we use. XLA_FLAGS is
+read at backend init (later), so setting it here is still effective.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+
+import jax  # noqa: E402  (after env setup on purpose)
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(__file__))

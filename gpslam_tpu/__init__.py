@@ -1,0 +1,25 @@
+"""gpslam_tpu — TPU-native continuous-time GP-SLAM engine.
+
+A brand-new JAX/XLA/Pallas probabilistic inference engine for the model class of
+the reference `gtrll/gpslam` (see SURVEY.md): continuous-time trajectories under
+sparse Gaussian-process priors (LTI-SDE; white-noise-on-acceleration and
+white-noise-on-jerk) on vector spaces and the Lie groups SE(2)/SE(3), with
+range / odometry / landmark measurement factors (including GP-interpolated
+factors at arbitrary measurement times), solved by MAP inference
+(Gauss-Newton / Levenberg-Marquardt over structure-exploiting block solvers)
+plus Laplace-style marginal covariances.
+
+Layer map (TPU-native restack of SURVEY.md §1):
+  lie/       batched SO(2)/SE(2)/SO(3)/SE(3) Exp/Log/Jacobians   (ref L2)
+  gp/        WNOA/WNOJ closed forms: Phi, Q, Qinv, Lambda, Psi    (ref G2)
+  factors/   vmapped per-factor-type residual+Jacobian kernels    (ref G3-G9, S4)
+  graph/     typed factor tables (SoA) + Values pytree            (ref S5)
+  ops/       Hessian assembly, block-tridiag scan solver,
+             supernodal Cholesky, Schur complement                (ref S6-S9)
+  solve/     on-device GN/LM while_loop optimizers                (ref S10)
+  parallel/  mesh, shard_map wrappers, halo exchange              (ref §2.4)
+  io/        dataset loaders (Plaza/g2o/synthetic)                (ref G12)
+  utils/     numerical-derivative checks, timing                  (ref S13, S16)
+"""
+
+__version__ = "0.1.0"
