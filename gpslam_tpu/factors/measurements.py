@@ -75,6 +75,12 @@ def prior_se3_state(state, params):
 # ------------------------------------------------------------------ odometry
 
 
+def between_linear(state_i, state_j, params):
+    """Relative-position odometry on vector states: r = A (x_j - x_i - z)."""
+    (xi, _vi), (xj, _vj) = state_i, state_j
+    return params["sqrt_info"] @ (xj - xi - params["z"])
+
+
 def between_se2(state_i, state_j, params):
     """Relative-pose odometry: r = A * Log(Z^{-1} T_i^{-1} T_j)."""
     Ti = state_i[0] if isinstance(state_i, tuple) else state_i

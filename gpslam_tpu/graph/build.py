@@ -1,0 +1,94 @@
+"""GraphBuilder: host-side graph construction (SURVEY.md §7 "CPU does
+symbolic work once per sparsity pattern").
+
+The builder accumulates variable groups and *bulk* factor batches (arrays,
+not per-factor objects — adding 10k range factors is one call with (10k,)
+index/measurement arrays), then freezes into the pytree `Graph`. Factor
+batches of the same (name, residual) added incrementally are concatenated at
+build time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import FactorBatch, Graph
+from .manifolds import Manifold
+
+
+class GraphBuilder:
+    def __init__(self):
+        self._manifolds: Dict[str, Manifold] = {}
+        self._batches: List[FactorBatch] = []
+
+    def add_group(self, name: str, manifold: Manifold) -> "GraphBuilder":
+        if name in self._manifolds:
+            raise ValueError(f"group {name!r} already exists")
+        self._manifolds[name] = manifold
+        return self
+
+    def add_factors(
+        self,
+        name: str,
+        residual: Callable,
+        groups: Tuple[str, ...],
+        idx: Tuple[Any, ...],
+        params: Any,
+        rdim: int,
+    ) -> "GraphBuilder":
+        """Add a homogeneous batch of factors.
+
+        idx: per slot, (M,) integer array of rows into that slot's group.
+        params: pytree of (M, ...) arrays.
+        """
+        for g in groups:
+            if g not in self._manifolds:
+                raise ValueError(f"unknown group {g!r}; add_group first")
+        idx = tuple(jnp.asarray(np.asarray(i), jnp.int32) for i in idx)
+        sizes = {i.shape[0] for i in idx}
+        if len(sizes) != 1:
+            raise ValueError(f"slot index arrays disagree on batch size: {sizes}")
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        self._batches.append(
+            FactorBatch(
+                idx=idx, params=params, name=name, residual=residual,
+                groups=tuple(groups), rdim=rdim,
+            )
+        )
+        return self
+
+    def build(self) -> Graph:
+        """Freeze. Batches with identical (name, residual, groups) merge."""
+        merged: Dict[Tuple, List[FactorBatch]] = {}
+        order: List[Tuple] = []
+        for b in self._batches:
+            key = (b.name, b.residual, b.groups, b.rdim)
+            if key not in merged:
+                merged[key] = []
+                order.append(key)
+            merged[key].append(b)
+        out = []
+        for key in order:
+            bs = merged[key]
+            if len(bs) == 1:
+                out.append(bs[0])
+            else:
+                idx = tuple(
+                    jnp.concatenate([b.idx[s] for b in bs])
+                    for s in range(len(bs[0].idx))
+                )
+                params = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs), *[b.params for b in bs]
+                )
+                out.append(
+                    FactorBatch(
+                        idx=idx, params=params, name=bs[0].name,
+                        residual=bs[0].residual, groups=bs[0].groups,
+                        rdim=bs[0].rdim,
+                    )
+                )
+        return Graph(batches=tuple(out), manifolds=dict(self._manifolds))

@@ -1,0 +1,146 @@
+"""Typed factor tables + Values: the TPU-native factor-graph container.
+
+Replaces the reference's `NonlinearFactorGraph` / `Values` object graph
+(SURVEY.md §2.2 S4-S5): instead of a vector of factor pointers with virtual
+`evaluateError`, the graph is a tuple of homogeneous FACTOR BATCHES — one per
+factor *type* — each holding struct-of-arrays params and int32 index arrays
+into per-group variable tables. Everything is a pytree, so `error`,
+`linearize`, and whole optimizers jit/vmap/shard cleanly.
+
+Conventions (GTSAM-compatible for chi^2 parity):
+  - residuals are whitened; total error = 0.5 * sum_k |r_k|^2
+  - linearization is w.r.t. local coordinates at the current estimate:
+    J = d residual(retract(x, delta)) / d delta  at delta = 0
+    (computed per factor with jacfwd, vmapped over the batch — the TPU
+    equivalent of the reference's hot loop #1, SURVEY.md §3.1)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .manifolds import Manifold
+
+
+@struct.dataclass
+class FactorBatch:
+    """A homogeneous batch of M factors of one type.
+
+    idx[s]    (M,) int32 — row of each factor's slot-s variable in its group
+    params    pytree of (M, ...) arrays (measurements, dt/tau, sqrt-info, ...)
+    residual  (slot_values..., params_one) -> (rdim,) whitened residual
+    groups    slot -> variable-group name
+    """
+
+    idx: Tuple[jnp.ndarray, ...]
+    params: Any
+    name: str = struct.field(pytree_node=False)
+    residual: Callable = struct.field(pytree_node=False)
+    groups: Tuple[str, ...] = struct.field(pytree_node=False)
+    rdim: int = struct.field(pytree_node=False)
+
+    @property
+    def size(self) -> int:
+        return self.idx[0].shape[0]
+
+
+@struct.dataclass
+class Graph:
+    """Factor graph: batches + (static) manifold spec per variable group."""
+
+    batches: Tuple[FactorBatch, ...]
+    manifolds: Dict[str, Manifold] = struct.field(pytree_node=False)
+
+    def group_sizes(self, values) -> Dict[str, int]:
+        return {g: jax.tree_util.tree_leaves(v)[0].shape[0] for g, v in values.items()}
+
+
+def gather(group_values, idx):
+    """Select rows `idx` from every leaf of a group's value pytree."""
+    return jax.tree_util.tree_map(lambda a: a[idx], group_values)
+
+
+def batch_residuals(batch: FactorBatch, values) -> jnp.ndarray:
+    """(M, rdim) whitened residuals for one batch (vmapped kernel)."""
+    gathered = tuple(
+        gather(values[g], batch.idx[s]) for s, g in enumerate(batch.groups)
+    )
+
+    def one(slot_vals, params_one):
+        return batch.residual(*slot_vals, params_one)
+
+    return jax.vmap(one)(gathered, batch.params)
+
+
+def error(graph: Graph, values) -> jnp.ndarray:
+    """Total graph error 0.5 * sum |r|^2 (GTSAM convention, SURVEY.md §2.3).
+
+    Per-batch sums are accumulated in f64-free compensated style: each batch
+    sum uses jnp.sum on the (M, rdim) residual square — XLA reduces in f32;
+    the cross-batch accumulation is only #batches terms so error growth is
+    negligible there. (If tighter chi^2 is needed, switch the inner sum to a
+    Kahan pairwise scheme; see SURVEY.md §7 hard-part 1.)
+    """
+    total = jnp.zeros((), _result_dtype(values))
+    for b in graph.batches:
+        r = batch_residuals(b, values)
+        total = total + 0.5 * jnp.sum(r * r)
+    return total
+
+
+def _result_dtype(values):
+    return jax.tree_util.tree_leaves(values)[0].dtype
+
+
+@struct.dataclass
+class LinearizedBatch:
+    """Whitened linearization of one batch at the current estimate.
+
+    r   (M, rdim)
+    J   tuple over slots of (M, rdim, dim_slot)
+    """
+
+    r: jnp.ndarray
+    J: Tuple[jnp.ndarray, ...]
+
+
+def linearize_batch(batch: FactorBatch, manifolds, values) -> LinearizedBatch:
+    gathered = tuple(
+        gather(values[g], batch.idx[s]) for s, g in enumerate(batch.groups)
+    )
+    dims = tuple(manifolds[g].dim for g in batch.groups)
+    dtype = _result_dtype(values)
+
+    def one(slot_vals, params_one):
+        def at_delta(deltas):
+            perturbed = tuple(
+                manifolds[g].retract(v, d)
+                for g, v, d in zip(batch.groups, slot_vals, deltas)
+            )
+            return batch.residual(*perturbed, params_one)
+
+        zeros = tuple(jnp.zeros((d,), dtype) for d in dims)
+        r = at_delta(zeros)
+        J = jax.jacfwd(at_delta)(zeros)
+        return r, J
+
+    r, J = jax.vmap(one)(gathered, batch.params)
+    return LinearizedBatch(r=r, J=J)
+
+
+def linearize(graph: Graph, values):
+    """All batches (reference: NonlinearFactorGraph::linearize, §3.1)."""
+    return tuple(linearize_batch(b, graph.manifolds, values) for b in graph.batches)
+
+
+def retract_all(graph: Graph, values, delta_by_group):
+    """values <- values ⊞ delta, per group (reference: Values::retract)."""
+    out = {}
+    for g, v in values.items():
+        man = graph.manifolds[g]
+        out[g] = jax.vmap(man.retract)(v, delta_by_group[g])
+    return out
