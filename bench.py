@@ -1,0 +1,107 @@
+"""Headline benchmark: Plaza1-scale full-batch LM solve (BASELINE.json §2).
+
+Problem: synthetic range-only SLAM at Plaza1 scale — 9700 chain states
+(position+velocity, WNOA GP prior), ~3.5k GP-interpolated range measurements
+to 4 beacons, 9699 odometry factors (the real Plaza1 dataset is unreachable:
+zero-egress environment; see BASELINE.md). Solver: BCR+Schur chain backend,
+full LM to convergence, f32.
+
+Reports ONE JSON line:
+  metric       plaza1_scale_lm_wallclock
+  value        steady-state wall-clock seconds of the full LM solve on the
+               default (TPU) backend
+  unit         s
+  vs_baseline  speedup vs the same solve on this host's CPU backend
+               (stand-in denominator until a GTSAM reference measurement is
+               possible; BASELINE.md documents the target >=10x vs C++ CPU)
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_problem(n_states=9700, dtype=jnp.float32):
+    from gpslam_tpu.io import synthetic
+    from gpslam_tpu.models import linear2d
+
+    data = synthetic.make_linear2d_range_slam(
+        n_states=n_states, ranges_per_interval=0.36, seed=0
+    )
+    graph, values = linear2d.build(data, dtype=dtype)
+    return graph, values, data
+
+
+def make_solver(graph):
+    from gpslam_tpu.config import LMConfig
+    from gpslam_tpu.ops import chain
+    from gpslam_tpu.solve import lm_solve
+
+    solver = chain.make_chain_solver(graph)
+    cfg = LMConfig(max_iterations=40)
+    return jax.jit(lambda g, v: lm_solve(g, v, cfg, solver=solver))
+
+
+def time_solve(solve, graph, values, repeats=3):
+    vals, stats = solve(graph, values)
+    jax.block_until_ready(stats.error)  # compile + first run
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        vals, stats = solve(graph, values)
+        jax.block_until_ready(stats.error)
+        best = min(best, time.perf_counter() - t0)
+    return best, stats
+
+
+def count_factors(graph):
+    return int(sum(b.size for b in graph.batches))
+
+
+def main():
+    graph, values, data = build_problem()
+    n_factors = count_factors(graph)
+
+    # default backend (TPU under the driver; CPU locally)
+    solve = make_solver(graph)
+    t_dev, stats = time_solve(solve, graph, values)
+    backend = jax.devices()[0].platform
+
+    # CPU denominator (same solve, CPU backend), if we're not already on CPU
+    if backend != "cpu":
+        cpu = jax.devices("cpu")[0]
+        graph_c, values_c = jax.device_put((graph, values), cpu)
+        with jax.default_device(cpu):
+            solve_c = make_solver(graph_c)
+            t_cpu, _ = time_solve(solve_c, graph_c, values_c, repeats=1)
+    else:
+        t_cpu = t_dev
+
+    iters = int(stats.iterations)
+    evals_per_s = n_factors * max(iters, 1) * 2 / t_dev  # 2 linearize+error passes
+    result = {
+        "metric": "plaza1_scale_lm_wallclock",
+        "value": round(t_dev, 4),
+        "unit": "s",
+        "vs_baseline": round(t_cpu / t_dev, 3),
+        "extra": {
+            "backend": backend,
+            "n_states": 9700,
+            "n_factors": n_factors,
+            "iterations": iters,
+            "chi2_init": float(stats.error0),
+            "chi2_final": float(stats.error),
+            "converged": bool(stats.converged),
+            "cpu_wallclock_s": round(t_cpu, 4),
+            "factor_evals_per_s": int(evals_per_s),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

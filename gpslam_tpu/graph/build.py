@@ -39,11 +39,12 @@ class GraphBuilder:
         idx: Tuple[Any, ...],
         params: Any,
         rdim: int,
+        mask: Any = None,
     ) -> "GraphBuilder":
         """Add a homogeneous batch of factors.
 
         idx: per slot, (M,) integer array of rows into that slot's group.
-        params: pytree of (M, ...) arrays.
+        params: pytree of (M, ...) arrays. mask: optional (M,) 0/1 weights.
         """
         for g in groups:
             if g not in self._manifolds:
@@ -53,10 +54,12 @@ class GraphBuilder:
         if len(sizes) != 1:
             raise ValueError(f"slot index arrays disagree on batch size: {sizes}")
         params = jax.tree_util.tree_map(jnp.asarray, params)
+        if mask is not None:
+            mask = jnp.asarray(mask)
         self._batches.append(
             FactorBatch(
                 idx=idx, params=params, name=name, residual=residual,
-                groups=tuple(groups), rdim=rdim,
+                groups=tuple(groups), rdim=rdim, mask=mask,
             )
         )
         return self
@@ -84,11 +87,19 @@ class GraphBuilder:
                 params = jax.tree_util.tree_map(
                     lambda *xs: jnp.concatenate(xs), *[b.params for b in bs]
                 )
+                if any(b.mask is not None for b in bs):
+                    mask = jnp.concatenate([
+                        b.mask if b.mask is not None
+                        else jnp.ones((b.size,), jnp.float32)
+                        for b in bs
+                    ])
+                else:
+                    mask = None
                 out.append(
                     FactorBatch(
                         idx=idx, params=params, name=bs[0].name,
                         residual=bs[0].residual, groups=bs[0].groups,
-                        rdim=bs[0].rdim,
+                        rdim=bs[0].rdim, mask=mask,
                     )
                 )
         return Graph(batches=tuple(out), manifolds=dict(self._manifolds))

@@ -42,6 +42,9 @@ class FactorBatch:
     residual: Callable = struct.field(pytree_node=False)
     groups: Tuple[str, ...] = struct.field(pytree_node=False)
     rdim: int = struct.field(pytree_node=False)
+    # optional (M,) 0/1 weights: 0 disables a factor (padding for sharding,
+    # inactive factors in the sliding window). None means all-active.
+    mask: Any = None
 
     @property
     def size(self) -> int:
@@ -73,7 +76,10 @@ def batch_residuals(batch: FactorBatch, values) -> jnp.ndarray:
     def one(slot_vals, params_one):
         return batch.residual(*slot_vals, params_one)
 
-    return jax.vmap(one)(gathered, batch.params)
+    r = jax.vmap(one)(gathered, batch.params)
+    if batch.mask is not None:
+        r = r * batch.mask[:, None].astype(r.dtype)
+    return r
 
 
 def error(graph: Graph, values) -> jnp.ndarray:
@@ -129,6 +135,10 @@ def linearize_batch(batch: FactorBatch, manifolds, values) -> LinearizedBatch:
         return r, J
 
     r, J = jax.vmap(one)(gathered, batch.params)
+    if batch.mask is not None:
+        m = batch.mask.astype(r.dtype)
+        r = r * m[:, None]
+        J = tuple(Ji * m[:, None, None] for Ji in J)
     return LinearizedBatch(r=r, J=J)
 
 

@@ -1,0 +1,25 @@
+"""Device-mesh helpers (SURVEY.md §5.8: the single comms backend).
+
+Axis-name conventions used across the framework:
+  "factor"  factor-block data parallelism (P1): residual/Jacobian kernels
+            sharded over factors, psum assembly
+  "time"    trajectory/sequence sharding (P4): contiguous chunks of the chain
+  "batch"   vmapped hypothesis/seed dimension (P6)
+XLA lowers all collectives over these axes to ICI (intra-slice) / DCN.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "factor") -> Mesh:
+    """1-D mesh over the first n_devices (default: all) local devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n_devices]), (axis_name,))

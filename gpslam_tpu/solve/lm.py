@@ -7,9 +7,15 @@ round-trips; per-iteration diagnostics are written into fixed-size on-device
 history arrays (the §5.5 structured-record equivalent of GTSAM's verbose
 prints) and returned with the solution.
 
+Architecture: `_lm_loop` is the pure damping loop over three callables
+(error_fn, step_fn, retract_fn). The single-device `lm_solve` wires it to the
+graph library; the sharded variant (parallel/solve.py) wires it to
+psum-reduced versions INSIDE a shard_map region; the vmapped multi-hypothesis
+variant maps it over a batch axis (BASELINE "vmapped chain dimension").
+
 The linear solver is pluggable: `solver(graph, values, lins, lam) ->
-delta_by_group`. Backends: ops/dense.py (small problems), ops/tridiag.py
-(chain + landmark Schur — the Plaza fast path), later the Pallas supernodal
+delta_by_group`. Backends: ops/dense.py (small problems), ops/chain.py
+(BCR + landmark Schur — the Plaza fast path), later the Pallas supernodal
 Cholesky. LM semantics follow GTSAM's LevenbergMarquardtOptimizer::iterate:
 accept iff error decreases; lambda /= factor on accept, *= factor on reject;
 stop on convergence, maxIterations, or lambda overflow.
@@ -17,7 +23,6 @@ stop on convergence, maxIterations, or lambda overflow.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -36,11 +41,82 @@ class SolveStats:
     error0: jnp.ndarray
     error: jnp.ndarray
     iterations: jnp.ndarray
-    converged: jnp.ndarray
+    converged: jnp.ndarray  # stopped because the error change was < tol
+    aborted: jnp.ndarray  # stopped because lambda overflowed (no progress)
     lambda_final: jnp.ndarray
     error_history: jnp.ndarray
     lambda_history: jnp.ndarray
     accept_history: jnp.ndarray
+
+
+def _select(pred, new, old):
+    return jax.tree_util.tree_map(
+        lambda b, a: jnp.where(jnp.reshape(pred, (1,) * a.ndim), b, a), new, old
+    )
+
+
+def _lm_loop(values0, error_fn: Callable, step_fn: Callable,
+             retract_fn: Callable, config: LMConfig, dtype):
+    """Core damped loop; all three callables close over the graph."""
+    err0 = error_fn(values0)
+    T = config.max_iterations
+
+    def cond(carry):
+        return jnp.logical_and(carry[3] < T, jnp.logical_not(carry[4]))
+
+    def body(carry):
+        values, lam, err, it, _done, conv, abort, hist = carry
+        delta = step_fn(values, lam)
+        candidate = retract_fn(values, delta)
+        new_err = error_fn(candidate)
+        accept = jnp.logical_and(new_err < err, jnp.isfinite(new_err))
+
+        values = _select(accept, candidate, values)
+        err_next = jnp.where(accept, new_err, err)
+        lam_next = jnp.where(
+            accept,
+            jnp.maximum(lam / config.lambda_factor, config.lambda_min),
+            lam * config.lambda_factor,
+        )
+        rel_ok = (err - new_err) <= config.relative_error_tol * err
+        abs_ok = (err - new_err) <= config.absolute_error_tol
+        conv = jnp.logical_and(accept, jnp.logical_or(rel_ok, abs_ok))
+        abort = jnp.logical_and(
+            jnp.logical_not(accept), lam_next > config.lambda_max
+        )
+        done = jnp.logical_or(conv, abort)
+
+        hist = (
+            hist[0].at[it].set(err_next),
+            hist[1].at[it].set(lam),
+            hist[2].at[it].set(accept),
+        )
+        return (values, lam_next, err_next, it + 1, done, conv, abort, hist)
+
+    hist0 = (
+        jnp.full((T,), jnp.nan, dtype),
+        jnp.full((T,), jnp.nan, dtype),
+        jnp.zeros((T,), jnp.bool_),
+    )
+    carry0 = (
+        values0,
+        jnp.asarray(config.lambda_init, dtype),
+        err0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        hist0,
+    )
+    values, lam, err, it, _done, conv, abort, hist = jax.lax.while_loop(
+        cond, body, carry0
+    )
+    stats = SolveStats(
+        error0=err0, error=err, iterations=it, converged=conv, aborted=abort,
+        lambda_final=lam, error_history=hist[0], lambda_history=hist[1],
+        accept_history=hist[2],
+    )
+    return values, stats
 
 
 def make_dense_solver(diagonal_damping: bool = False) -> Callable:
@@ -61,74 +137,18 @@ def lm_solve(graph, values0, config: LMConfig = LMConfig(), solver=None):
     if solver is None:
         solver = make_dense_solver(config.diagonal_damping)
     dtype = jax.tree_util.tree_leaves(values0)[0].dtype
-    err0 = graphlib.error(graph, values0)
-    T = config.max_iterations
 
-    def cond(carry):
-        _, lam, err, it, done = carry[0], carry[1], carry[2], carry[3], carry[4]
-        return jnp.logical_and(it < T, jnp.logical_not(done))
+    def error_fn(values):
+        return graphlib.error(graph, values)
 
-    def body(carry):
-        values, lam, err, it, done, hist = carry
+    def step_fn(values, lam):
         lins = graphlib.linearize(graph, values)
-        delta = solver(graph, values, lins, lam)
-        candidate = graphlib.retract_all(graph, values, delta)
-        new_err = graphlib.error(graph, candidate)
-        accept = jnp.logical_and(new_err < err, jnp.isfinite(new_err))
+        return solver(graph, values, lins, lam)
 
-        values = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(
-                jnp.reshape(accept, (1,) * a.ndim), b, a
-            ),
-            values,
-            candidate,
-        )
-        err_next = jnp.where(accept, new_err, err)
-        lam_next = jnp.where(
-            accept,
-            jnp.maximum(lam / config.lambda_factor, config.lambda_min),
-            lam * config.lambda_factor,
-        )
-        rel_ok = (err - new_err) <= config.relative_error_tol * err
-        abs_ok = (err - new_err) <= config.absolute_error_tol
-        converged = jnp.logical_and(accept, jnp.logical_or(rel_ok, abs_ok))
-        lam_overflow = jnp.logical_and(
-            jnp.logical_not(accept), lam_next > config.lambda_max
-        )
-        done = jnp.logical_or(converged, lam_overflow)
+    def retract_fn(values, delta):
+        return graphlib.retract_all(graph, values, delta)
 
-        hist = (
-            hist[0].at[it].set(err_next),
-            hist[1].at[it].set(lam),
-            hist[2].at[it].set(accept),
-        )
-        return (values, lam_next, err_next, it + 1, done, hist)
-
-    hist0 = (
-        jnp.full((T,), jnp.nan, dtype),
-        jnp.full((T,), jnp.nan, dtype),
-        jnp.zeros((T,), jnp.bool_),
-    )
-    carry0 = (
-        values0,
-        jnp.asarray(config.lambda_init, dtype),
-        err0,
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(False),
-        hist0,
-    )
-    values, lam, err, it, done, hist = jax.lax.while_loop(cond, body, carry0)
-    stats = SolveStats(
-        error0=err0,
-        error=err,
-        iterations=it,
-        converged=done,
-        lambda_final=lam,
-        error_history=hist[0],
-        lambda_history=hist[1],
-        accept_history=hist[2],
-    )
-    return values, stats
+    return _lm_loop(values0, error_fn, step_fn, retract_fn, config, dtype)
 
 
 def gn_solve(graph, values0, config: GNConfig = GNConfig(), solver=None):
@@ -149,11 +169,7 @@ def gn_solve(graph, values0, config: GNConfig = GNConfig(), solver=None):
         candidate = graphlib.retract_all(graph, values, delta)
         new_err = graphlib.error(graph, candidate)
         improved = jnp.logical_and(new_err < err, jnp.isfinite(new_err))
-        values = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(jnp.reshape(improved, (1,) * a.ndim), b, a),
-            values,
-            candidate,
-        )
+        values = _select(improved, candidate, values)
         err_next = jnp.where(improved, new_err, err)
         rel_ok = (err - new_err) <= config.relative_error_tol * err
         abs_ok = (err - new_err) <= config.absolute_error_tol
@@ -164,11 +180,8 @@ def gn_solve(graph, values0, config: GNConfig = GNConfig(), solver=None):
         cond, body, (values0, err0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     )
     stats = SolveStats(
-        error0=err0,
-        error=err,
-        iterations=it,
-        converged=done,
-        lambda_final=jnp.zeros((), dtype),
+        error0=err0, error=err, iterations=it, converged=done,
+        aborted=jnp.asarray(False), lambda_final=jnp.zeros((), dtype),
         error_history=jnp.full((T,), jnp.nan, dtype),
         lambda_history=jnp.full((T,), jnp.nan, dtype),
         accept_history=jnp.zeros((T,), jnp.bool_),
