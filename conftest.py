@@ -25,5 +25,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 import jax  # noqa: E402  (after env setup on purpose)
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is compile-bound (many shape variants)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(__file__))

@@ -23,3 +23,15 @@ Layer map (TPU-native restack of SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if not _os.environ.get("GPSLAM_TPU_NO_PRECISION_OVERRIDE"):
+    # A nonlinear least-squares SOLVER cannot tolerate the TPU MXU's default
+    # bf16 matmul passes: with the default, f32 3x3 pose products carry ~1e-3
+    # error and LM stops converging (measured on v5e). Pin full-f32 matmul
+    # precision process-wide; opt out via GPSLAM_TPU_NO_PRECISION_OVERRIDE=1
+    # if embedding this library alongside thoughput-critical bf16 ML code.
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,120 @@
+"""Marginal covariances (SURVEY.md §2.2 S12, call stack §3.5).
+
+Replaces GTSAM's Bayes-tree shortcut machinery with structure-exploiting
+closed recurrences on the chain+arrowhead system:
+
+  block-tridiagonal selected inverse (Takahashi-style):
+    forward:   P_0 = D_0;  P_i = D_i - U_{i-1}^T P_{i-1}^{-1} U_{i-1}
+    backward:  S_{N-1} = P_{N-1}^{-1}
+               S_i = P_i^{-1} + P_i^{-1} U_i S_{i+1} U_i^T P_i^{-1}
+  (these are exactly the Kalman-filter / RTS covariance recursions; both are
+  lax.scans of (b,b) block ops — parallelizable later via associative scan)
+
+  landmark correction (arrowhead):
+    (H^{-1})_ss,ii = S_i + Y_i Sc^{-1} Y_i^T,  Y = H_ss^{-1} H_sl,
+    Sc = H_ll - H_sl^T H_ss^{-1} H_sl;   (H^{-1})_ll = Sc^{-1}.
+
+All covariances are in the tangent space at the evaluation point (GTSAM
+Marginals semantics). A dense fallback covers arbitrary (small) graphs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .graph import graph as graphlib
+from .ops import chain as chain_ops
+from .ops import dense as dense_ops
+
+
+def _inv_psd(A):
+    """Batched PSD inverse via Cholesky."""
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return jnp.swapaxes(Linv, -1, -2) @ Linv
+
+
+def tridiag_selected_inverse(D, U):
+    """Diagonal blocks of inv(blocktridiag(U^T, D, U)): (N, b, b).
+
+    Also returns the forward Schur blocks P (for joint marginals).
+    """
+    N = D.shape[0]
+
+    def fwd(P_prev, inputs):
+        D_i, U_prev = inputs
+        # P_i = D_i - U_{i-1}^T P_{i-1}^{-1} U_{i-1}
+        Pinv = _inv_psd(P_prev)
+        P_i = D_i - jnp.swapaxes(U_prev, -1, -2) @ Pinv @ U_prev
+        return P_i, P_i
+
+    # i = 0 has no predecessor: seed with P_0 = D_0 and scan the rest
+    P0 = D[0]
+    _, P_rest = jax.lax.scan(fwd, P0, (D[1:], U[:-1]))
+    P = jnp.concatenate([P0[None], P_rest], 0)
+
+    def bwd(S_next, inputs):
+        P_i, U_i = inputs
+        Pinv = _inv_psd(P_i)
+        S_i = Pinv + Pinv @ U_i @ S_next @ jnp.swapaxes(U_i, -1, -2) @ Pinv
+        return S_i, S_i
+
+    S_last = _inv_psd(P[-1])
+    _, S_rest = jax.lax.scan(bwd, S_last, (P[:-1], U[:-1]), reverse=True)
+    Sigma = jnp.concatenate([S_rest, S_last[None]], 0)
+    return Sigma, P
+
+
+def chain_marginals(graph, values, state_group: str = "state",
+                    lm_group: Optional[str] = "landmark"):
+    """Marginal covariances for every chain state (and landmark) at `values`.
+
+    Returns {state_group: (N, b, b)[, lm_group: (L, dl, dl)]}.
+    """
+    if lm_group is not None and lm_group not in graph.manifolds:
+        lm_group = None
+    roles = chain_ops.build_role_table(graph, state_group, lm_group)
+    lins = graphlib.linearize(graph, values)
+    D, U, g_s, H_sl, H_ll, g_l = chain_ops.assemble_chain(
+        graph, lins, values, roles, state_group, lm_group
+    )
+    Sigma_ss, _ = tridiag_selected_inverse(D, U)
+    if lm_group is None:
+        return {state_group: Sigma_ss}
+
+    # landmark Schur complement and the state correction
+    from .ops.tridiag import bcr_solve
+
+    Y = bcr_solve(D, U, H_sl)  # (N, b, P) = H_ss^{-1} H_sl
+    Sc = H_ll - jnp.einsum("nbp,nbq->pq", H_sl, Y)
+    Sc_inv = _inv_psd(Sc)
+    corr = jnp.einsum("nbp,pq,ncq->nbc", Y, Sc_inv, Y)
+    dl = graph.manifolds[lm_group].dim
+    L = Sc.shape[0] // dl
+    Sigma_ll = Sc_inv.reshape(L, dl, L, dl)
+    Sigma_ll_diag = jnp.stack([Sigma_ll[i, :, i, :] for i in range(L)], 0)
+    return {state_group: Sigma_ss + corr, lm_group: Sigma_ll_diag}
+
+
+def dense_marginals(graph, values):
+    """Dense fallback for arbitrary small graphs: block-diagonal of H^{-1}
+    per variable. Returns {group: (N_g, dim_g, dim_g)}."""
+    layout, Dtot = dense_ops.tangent_layout(graph, values)
+    dtype = jax.tree_util.tree_leaves(values)[0].dtype
+    lins = graphlib.linearize(graph, values)
+    H, _ = dense_ops.assemble_dense(graph, lins, layout, Dtot, dtype)
+    Sigma = _inv_psd(H)
+    out = {}
+    sizes = graph.group_sizes(values)
+    for g, (off, d) in layout.items():
+        n = sizes[g]
+        blocks = []
+        for i in range(n):
+            s = off + i * d
+            blocks.append(jax.lax.dynamic_slice(Sigma, (s, s), (d, d)))
+        out[g] = jnp.stack(blocks, 0)
+    return out

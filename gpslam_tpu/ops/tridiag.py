@@ -27,13 +27,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import smallblock as sb
 
-def _chol_solve(L, B):
-    """Batched solve A X = B given L = chol(A): (..., b, b) @ (..., b, k)."""
-    y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-    return jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), y, lower=False
-    )
+_chol_solve = sb.chol_solve
 
 
 def _pad_pow2(D, U, r):
@@ -67,7 +63,7 @@ def bcr_solve(D, U, r):
 def _bcr(D, U, r):
     n = D.shape[0]
     if n == 1:
-        L = jnp.linalg.cholesky(D)
+        L = sb.cholesky(D)
         return _chol_solve(L, r)
 
     D_even, D_odd = D[0::2], D[1::2]
@@ -75,20 +71,20 @@ def _bcr(D, U, r):
     U_oe = U[1::2]  # U[2j+1] : couples 2j+1 <-> 2j+2 (last entry is 0-pad)
     r_even, r_odd = r[0::2], r[1::2]
 
-    L_odd = jnp.linalg.cholesky(D_odd)
+    L_odd = sb.cholesky(D_odd)
     # S1[j] = U[2j]   D_odd[j]^{-1}  (b, b)
     # S2[j] = U[2j+1]^T D_odd[j]^{-1}
     S1 = jnp.swapaxes(_chol_solve(L_odd, jnp.swapaxes(U_eo, -1, -2)), -1, -2)
     S2 = jnp.swapaxes(_chol_solve(L_odd, U_oe), -1, -2)
 
     # reduced system on the even indices
-    D_red = D_even - S1 @ jnp.swapaxes(U_eo, -1, -2)
+    D_red = D_even - sb.matmul_hp(S1, jnp.swapaxes(U_eo, -1, -2))
     # left-odd contribution S2[j-1] @ U[2j-1], shifted (zero for j=0)
-    left = S2 @ U_oe
+    left = sb.matmul_hp(S2, U_oe)
     D_red = D_red - jnp.concatenate([jnp.zeros_like(left[:1]), left[:-1]], 0)
-    U_red = -S1 @ U_oe  # couples even 2j <-> 2j+2; last entry stays 0 (pad)
-    r_red = r_even - S1 @ r_odd
-    rl = S2 @ r_odd
+    U_red = -sb.matmul_hp(S1, U_oe)  # couples even 2j <-> 2j+2; last entry stays 0 (pad)
+    r_red = r_even - sb.matmul_hp(S1, r_odd)
+    rl = sb.matmul_hp(S2, r_odd)
     r_red = r_red - jnp.concatenate([jnp.zeros_like(rl[:1]), rl[:-1]], 0)
 
     x_even = _bcr(D_red, U_red, r_red)
@@ -96,7 +92,8 @@ def _bcr(D, U, r):
     # back-substitute the odd unknowns:
     # x[2j+1] = D_odd[j]^{-1} (r_odd[j] - U[2j]^T x[2j] - U[2j+1] x[2j+2])
     x_next = jnp.concatenate([x_even[1:], jnp.zeros_like(x_even[:1])], 0)
-    rhs_odd = r_odd - jnp.swapaxes(U_eo, -1, -2) @ x_even - U_oe @ x_next
+    rhs_odd = (r_odd - sb.matmul_hp(jnp.swapaxes(U_eo, -1, -2), x_even)
+               - sb.matmul_hp(U_oe, x_next))
     x_odd = _chol_solve(L_odd, rhs_odd)
 
     # interleave even/odd
@@ -139,10 +136,10 @@ def schur_arrowhead_solve(D, U, g_s, H_sl, H_ll, g_l, lam, diagonal_damping):
     Y = sol[..., 1:]  # H_ss^{-1} H_sl     (N, b, P)
 
     # Schur complement on the landmarks
-    S = H_ll_damped - jnp.einsum("nbp,nbq->pq", H_sl, Y)
-    rhs_l = -g_l + jnp.einsum("nbp,nb->p", H_sl, z)
+    S = H_ll_damped - jnp.einsum("nbp,nbq->pq", H_sl, Y, precision="highest")
+    rhs_l = -g_l + jnp.einsum("nbp,nb->p", H_sl, z, precision="highest")
     L_S = jnp.linalg.cholesky(S)
     dl = _chol_solve(L_S, rhs_l[:, None])[:, 0]
 
-    ds = -z - jnp.einsum("nbp,p->nb", Y, dl)
+    ds = -z - jnp.einsum("nbp,p->nb", Y, dl, precision="highest")
     return ds, dl

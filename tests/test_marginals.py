@@ -1,0 +1,75 @@
+"""Marginal covariance tests: selected-inverse vs dense inverse parity
+(reference behavior: GTSAM Marginals, SURVEY.md §3.5)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpslam_tpu import marginals
+from gpslam_tpu.config import LMConfig
+from gpslam_tpu.io import synthetic
+from gpslam_tpu.models import linear2d
+from gpslam_tpu.ops import chain
+from gpslam_tpu.solve import lm_solve
+
+RNG = np.random.default_rng(11)
+
+
+def test_tridiag_selected_inverse_matches_dense():
+    n, b = 9, 3
+    D = RNG.normal(size=(n, b, b))
+    D = D @ D.transpose(0, 2, 1) + (4 + b) * np.eye(b)[None]
+    U = 0.8 * RNG.normal(size=(n, b, b))
+    U[-1] = 0
+    Sigma, _ = marginals.tridiag_selected_inverse(jnp.asarray(D), jnp.asarray(U))
+    H = np.zeros((n * b, n * b))
+    for i in range(n):
+        H[i*b:(i+1)*b, i*b:(i+1)*b] = D[i]
+        if i + 1 < n:
+            H[i*b:(i+1)*b, (i+1)*b:(i+2)*b] = U[i]
+            H[(i+1)*b:(i+2)*b, i*b:(i+1)*b] = U[i].T
+    Hinv = np.linalg.inv(H)
+    for i in range(n):
+        np.testing.assert_allclose(
+            np.asarray(Sigma[i]), Hinv[i*b:(i+1)*b, i*b:(i+1)*b], atol=1e-10
+        )
+
+
+@pytest.fixture(scope="module")
+def solved_problem():
+    data = synthetic.make_linear2d_range_slam(n_states=25, seed=13)
+    graph, values = linear2d.build(data, dtype=jnp.float64)
+    solver = chain.make_chain_solver(graph)
+    vals, _ = lm_solve(graph, values, LMConfig(), solver=solver)
+    return graph, vals
+
+
+def test_chain_marginals_match_dense(solved_problem):
+    graph, vals = solved_problem
+    mc = marginals.chain_marginals(graph, vals)
+    md = marginals.dense_marginals(graph, vals)
+    np.testing.assert_allclose(
+        np.asarray(mc["state"]), np.asarray(md["state"]), rtol=1e-6, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(mc["landmark"]), np.asarray(md["landmark"]), rtol=1e-6,
+        atol=1e-10,
+    )
+
+
+def test_marginals_are_spd(solved_problem):
+    graph, vals = solved_problem
+    mc = marginals.chain_marginals(graph, vals)
+    for g, S in mc.items():
+        S = np.asarray(S)
+        np.testing.assert_allclose(S, S.swapaxes(-1, -2), atol=1e-9)
+        eig = np.linalg.eigvalsh(S)
+        assert np.all(eig > 0), f"{g} marginal not PD"
+
+
+def test_anchored_state_has_smallest_uncertainty(solved_problem):
+    graph, vals = solved_problem
+    mc = marginals.chain_marginals(graph, vals)
+    tr = np.trace(np.asarray(mc["state"]), axis1=-2, axis2=-1)
+    # state 0 carries the strong prior: it must be the most certain
+    assert np.argmin(tr) == 0
