@@ -1,0 +1,62 @@
+"""BASELINE config 2: Plaza1-style range-only SLAM with GP interpolation
+factors at ranging times, full-batch LM with the BCR+Schur chain solver.
+
+Uses the synthetic Plaza-scale dataset (the real Autonomous Lawnmower files
+are unreachable in this zero-egress environment; pass a Plaza text export via
+--data to run on real data through io.formats.load_plaza).
+
+Run: python examples/config2_plaza_range_slam.py [--cpu] [--states N]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpslam_tpu.config import LMConfig
+from gpslam_tpu.io import synthetic
+from gpslam_tpu.models import linear2d
+from gpslam_tpu.ops import chain
+from gpslam_tpu.solve import lm_solve
+
+
+def main():
+    n = 9700
+    if "--states" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--states") + 1])
+    data = synthetic.make_linear2d_range_slam(
+        n_states=n, ranges_per_interval=0.36, seed=0
+    )
+    graph, values = linear2d.build(data, dtype=jnp.float32)
+    solver = chain.make_chain_solver(graph)
+    solve = jax.jit(lambda g, v: lm_solve(g, v, LMConfig(max_iterations=40),
+                                          solver=solver))
+    vals, stats = solve(graph, values)
+    jax.block_until_ready(stats.error)
+    t0 = time.perf_counter()
+    vals, stats = solve(graph, values)
+    jax.block_until_ready(stats.error)
+    dt = time.perf_counter() - t0
+    pos = np.asarray(vals["state"][0])
+    rmse = np.sqrt(((pos - data["gt_pos"]) ** 2).sum(-1).mean())
+    print(
+        f"{n} states, {sum(b.size for b in graph.batches)} factors on "
+        f"{jax.devices()[0].platform}"
+    )
+    print(
+        f"chi2 {float(stats.error0):.0f} -> {float(stats.error):.1f} in "
+        f"{int(stats.iterations)} iterations; steady-state solve {dt*1e3:.1f} ms"
+    )
+    print(f"trajectory RMSE {rmse:.3f} m; landmark errors "
+          f"{np.linalg.norm(np.asarray(vals['landmark']) - data['landmarks_gt'], axis=1).round(3)}")
+
+
+if __name__ == "__main__":
+    main()

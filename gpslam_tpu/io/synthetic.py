@@ -198,6 +198,169 @@ def make_se2_pose_graph(
     }
 
 
+def make_se2_landmark_slam(
+    n_states: int = 100,
+    n_landmarks: int = 12,
+    dt: float = 0.5,
+    qc: float = 0.05,
+    odom_sigma_xy: float = 0.05,
+    odom_sigma_th: float = 0.01,
+    bearing_sigma: float = 0.02,
+    range_sigma: float = 0.15,
+    max_obs_range: float = 12.0,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """2D landmark SLAM (BASELINE.json config 3): SE(2) trajectory with
+    GP-WNOA prior, odometry, and bearing-range observations of landmarks
+    within sensor range. Returns the pose-graph fields of
+    make_se2_pose_graph plus landmark truth/init and (br_i, br_lm,
+    br_bearing, br_range) observation tables."""
+    base = make_se2_pose_graph(
+        n_states=n_states, dt=dt, qc=qc, odom_sigma_xy=odom_sigma_xy,
+        odom_sigma_th=odom_sigma_th, loop_closure_prob=0.0, seed=seed,
+    )
+    rng = np.random.default_rng(seed + 1)
+    poses = base["gt_pose"]
+    lo = poses[:, :2].min(0) - 4.0
+    hi = poses[:, :2].max(0) + 4.0
+    landmarks = rng.uniform(lo, hi, size=(n_landmarks, 2))
+    bi, bl, bb, br = [], [], [], []
+    for k in range(n_states):
+        d = landmarks - poses[k, :2]
+        dist = np.linalg.norm(d, axis=-1)
+        c, s = np.cos(poses[k, 2]), np.sin(poses[k, 2])
+        for j in np.nonzero(dist < max_obs_range)[0]:
+            local = np.array(
+                [c * d[j, 0] + s * d[j, 1], -s * d[j, 0] + c * d[j, 1]]
+            )
+            bearing = np.arctan2(local[1], local[0])
+            bi.append(k)
+            bl.append(j)
+            bb.append(bearing + rng.normal(scale=bearing_sigma))
+            br.append(dist[j] + rng.normal(scale=range_sigma))
+    base.update(
+        {
+            "landmarks_gt": landmarks,
+            "init_landmarks": landmarks + rng.normal(scale=0.5,
+                                                     size=landmarks.shape),
+            "br_i": np.asarray(bi, np.int64),
+            "br_lm": np.asarray(bl, np.int64),
+            "br_bearing": np.asarray(bb),
+            "br_range": np.asarray(br),
+            "bearing_sigma": bearing_sigma,
+            "range_sigma": range_sigma,
+        }
+    )
+    return base
+
+
+def make_se3_pose_graph(
+    n_states: int = 100,
+    dt: float = 0.5,
+    qc: float = 0.05,
+    odom_sigma_rot: float = 0.005,
+    odom_sigma_trans: float = 0.02,
+    loop_closure_every: int = 0,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """3D SE(3) pose graph with GP prior + odometry (BASELINE.json config 4
+    structure, KITTI-like smooth vehicle motion). Returns rotation matrices
+    gt_R (N,3,3), translations gt_t (N,3), body twists gt_vel (N,6) in
+    [omega, v] order, noisy relative-pose odometry (odom_R, odom_t), optional
+    loop closures, and odometry-integrated initial values."""
+    rng = np.random.default_rng(seed)
+    # smooth twist profile: forward motion + slowly varying yaw/pitch
+    tgrid = np.linspace(0, 4 * np.pi, n_states)
+    twists = np.zeros((n_states, 6))
+    twists[:, 2] = 0.15 + 0.1 * np.sin(tgrid)  # yaw rate
+    twists[:, 1] = 0.02 * np.cos(tgrid)  # pitch rate
+    twists[:, 3] = 1.0 + 0.2 * np.cos(0.5 * tgrid)  # forward speed
+    R = np.zeros((n_states, 3, 3))
+    t = np.zeros((n_states, 3))
+    R[0] = np.eye(3)
+    for k in range(n_states - 1):
+        dR, dtr = _se3_exp(dt * twists[k])
+        R[k + 1] = R[k] @ dR
+        t[k + 1] = R[k] @ dtr + t[k]
+    odom_R = np.zeros((n_states - 1, 3, 3))
+    odom_t = np.zeros((n_states - 1, 3))
+    for k in range(n_states - 1):
+        relR = R[k].T @ R[k + 1]
+        relt = R[k].T @ (t[k + 1] - t[k])
+        nR, nt = _se3_exp(
+            np.concatenate(
+                [
+                    rng.normal(scale=odom_sigma_rot, size=3),
+                    rng.normal(scale=odom_sigma_trans, size=3),
+                ]
+            )
+        )
+        odom_R[k] = relR @ nR
+        odom_t[k] = relR @ nt + relt
+    lc_i, lc_j, lc_R, lc_t = [], [], [], []
+    if loop_closure_every:
+        for j in range(loop_closure_every, n_states, loop_closure_every):
+            i = j - loop_closure_every
+            relR = R[i].T @ R[j]
+            relt = R[i].T @ (t[j] - t[i])
+            nR, nt = _se3_exp(
+                np.concatenate(
+                    [
+                        rng.normal(scale=odom_sigma_rot, size=3),
+                        rng.normal(scale=odom_sigma_trans, size=3),
+                    ]
+                )
+            )
+            lc_i.append(i)
+            lc_j.append(j)
+            lc_R.append(relR @ nR)
+            lc_t.append(relR @ nt + relt)
+    # init: integrate noisy odometry
+    iR = np.zeros_like(R)
+    it = np.zeros_like(t)
+    iR[0] = R[0]
+    it[0] = t[0]
+    for k in range(n_states - 1):
+        iR[k + 1] = iR[k] @ odom_R[k]
+        it[k + 1] = iR[k] @ odom_t[k] + it[k]
+    init_vel = twists + rng.normal(scale=0.05, size=twists.shape)
+    return {
+        "dt": dt,
+        "qc": qc,
+        "odom_sigma_rot": odom_sigma_rot,
+        "odom_sigma_trans": odom_sigma_trans,
+        "gt_R": R,
+        "gt_t": t,
+        "gt_vel": twists,
+        "odom_R": odom_R,
+        "odom_t": odom_t,
+        "lc_i": np.asarray(lc_i, np.int64),
+        "lc_j": np.asarray(lc_j, np.int64),
+        "lc_R": np.asarray(lc_R).reshape(-1, 3, 3),
+        "lc_t": np.asarray(lc_t).reshape(-1, 3),
+        "init_R": iR,
+        "init_t": it,
+        "init_vel": init_vel,
+    }
+
+
+def _se3_exp(xi):
+    """numpy SE(3) exp, [omega, v] ordering (ground-truth generation only)."""
+    w, v = xi[:3], xi[3:]
+    th = np.linalg.norm(w)
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-9:
+        R = np.eye(3) + W
+        V = np.eye(3) + 0.5 * W
+    else:
+        A = np.sin(th) / th
+        B = (1 - np.cos(th)) / th**2
+        C = (th - np.sin(th)) / th**3
+        R = np.eye(3) + A * W + B * (W @ W)
+        V = np.eye(3) + B * W + C * (W @ W)
+    return R, V @ v
+
+
 # minimal f64 numpy SE(2) helpers (ground-truth generation only)
 def _se2_exp(xi):
     vx, vy, w = xi

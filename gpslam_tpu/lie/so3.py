@@ -126,14 +126,18 @@ def log(R):
     """
     q = _to_quaternion(R)
     qw, qv = q[..., 0], q[..., 1:]
-    nv = jnp.linalg.norm(qv, axis=-1)
-    small = nv < 1e-7
-    nv_safe = jnp.where(small, jnp.ones_like(nv), nv)
-    half_theta = jnp.arctan2(nv, qw)
+    # AD-safety: |qv| is non-differentiable at qv = 0 (exactly the identity
+    # rotation — common: odometry-integrated inits make relative-rotation
+    # errors exactly I). Work with nv2 = |qv|^2 (polynomial, smooth) and only
+    # take sqrt on a where-guarded safe value.
+    nv2 = jnp.sum(qv * qv, axis=-1)
+    small = nv2 < 1e-14
+    nv_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(nv2), nv2))
+    half_theta = jnp.arctan2(nv_safe, qw)
     # w = 2 * half_theta * qv / |qv|; small-angle: 2*qv/qw * (1 - |qv|^2/(3 qw^2))
     scale_reg = 2.0 * half_theta / nv_safe
     qw_safe = jnp.where(jnp.abs(qw) < 1e-12, jnp.ones_like(qw), qw)
-    scale_small = 2.0 / qw_safe * (1.0 - nv * nv / (3.0 * qw_safe * qw_safe))
+    scale_small = 2.0 / qw_safe * (1.0 - nv2 / (3.0 * qw_safe * qw_safe))
     scale = jnp.where(small, scale_small, scale_reg)
     return scale[..., None] * qv
 

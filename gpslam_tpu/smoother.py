@@ -1,0 +1,432 @@
+"""Fixed-lag sliding-window smoother (SURVEY.md §2.2 S11).
+
+The reference's incremental engine is iSAM2 — pointer-surgery on a Bayes
+tree, hostile to XLA. The TPU-idiomatic replacement (BASELINE.json config 5
+"sliding-window incremental smoothing") is a STATIC-SHAPE fixed-lag smoother:
+a window of W chain states plus the landmark set, advanced one step per
+`step()` call with zero recompiles:
+
+  1. marginalize the oldest state onto (next state, landmarks) — dense Schur
+     complement of the factors being dropped, stored as a relinearized
+     ANCHOR factor r = A [local(mu, x); ...] + c (exact Gaussian marginal at
+     the current linearization point, the standard fixed-lag approximation);
+  2. roll the window arrays, predict the new head state through the GP mean
+     Phi(dt), shift the measurement ring buffer (factor masks expire old
+     measurements — no dynamic shapes anywhere);
+  3. run K warm-started damped iterations with the BCR+Schur chain solver.
+
+Cost per step is O(W log W), independent of total trajectory length — the
+"cheap sequential updates" capability of iSAM2 without tree edits.
+
+This implementation targets the linear-WNOA model class (the Plaza workload);
+the Lie-state variant follows the same structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import LMConfig
+from .graph import manifolds
+from .graph.graph import FactorBatch, Graph
+from .factors import gp_priors, measurements
+from .ops import chain as chain_ops
+from .ops import dense as dense_ops
+from .ops import smallblock as sb
+from .solve.lm import _lm_loop
+
+
+def _anchor_residual(state, *args):
+    """Joint Gaussian anchor on (head state, all landmarks):
+    r = A [x - mu_s; v - mu_v; l_0 - mu_l0; ...] + c."""
+    *lms, params = args
+    x, v = state
+    delta = jnp.concatenate(
+        [x - params["mu_x"], v - params["mu_v"]]
+        + [lm - mu for lm, mu in zip(lms, params["mu_l"])]
+    )
+    return params["sqrt_info"] @ delta + params["offset"]
+
+
+@struct.dataclass
+class SmootherState:
+    """All dynamic state of the smoother (a pytree; step() is jittable)."""
+
+    x: jnp.ndarray  # (W, d) window positions
+    v: jnp.ndarray  # (W, d) window velocities
+    landmarks: jnp.ndarray  # (L, d)
+    anchor_sqrt_info: jnp.ndarray  # (b+P, b+P)
+    anchor_offset: jnp.ndarray  # (b+P,)
+    anchor_mu_x: jnp.ndarray  # (d,)
+    anchor_mu_v: jnp.ndarray  # (d,)
+    anchor_mu_l: jnp.ndarray  # (L, d)
+    odom_z: jnp.ndarray  # (W-1, d)
+    odom_mask: jnp.ndarray  # (W-1,)
+    rng_interval: jnp.ndarray  # (C,) int32 interval index (i, i+1)
+    rng_lm: jnp.ndarray  # (C,) int32 landmark id
+    rng_tau: jnp.ndarray  # (C,)
+    rng_z: jnp.ndarray  # (C,)
+    rng_mask: jnp.ndarray  # (C,)
+    step_count: jnp.ndarray  # ()
+
+
+@dataclasses.dataclass(frozen=True)
+class SmootherConfig:
+    window: int = 50
+    ranges_per_step: int = 4  # ring-buffer insert width per step
+    dt: float = 1.0
+    qc: float = 0.1
+    odom_sigma: float = 0.05
+    range_sigma: float = 0.3
+    iters_per_step: int = 2
+    lambda_fixed: float = 1e-6  # small fixed damping for the warm-started GN
+
+
+class FixedLagSmoother:
+    """Linear-WNOA fixed-lag smoother. Build once per (W, L, C) shape; all
+    step() calls reuse one compiled XLA program."""
+
+    def __init__(self, config: SmootherConfig, n_landmarks: int,
+                 dtype=jnp.float32):
+        self.config = config
+        self.n_landmarks = n_landmarks
+        self.dtype = dtype
+        self.d = 2
+        self.b = 2 * self.d
+        self.P = n_landmarks * self.d
+        self.C = config.ranges_per_step * config.window
+        self._man = {
+            "state": manifolds.linear_state(self.d),
+            "landmark": manifolds.Vector(self.d),
+        }
+        self._roles()  # build the static role table EAGERLY (host-side):
+        # inside the jit trace jnp constructors yield tracers and the
+        # structural check would fail
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------- graph
+    def _graph(self, s: SmootherState, drop_only: bool = False) -> Graph:
+        cfg = self.config
+        W, L, C = cfg.window, self.n_landmarks, self.C
+        dt = jnp.asarray(cfg.dt, self.dtype)
+        qc_sqrt = jnp.eye(self.d, dtype=self.dtype) / jnp.sqrt(
+            jnp.asarray(cfg.qc, self.dtype)
+        )
+        batches = []
+        # anchor on (state 0, all landmarks)
+        anchor_groups = ("state",) + ("landmark",) * L
+        anchor_idx = (jnp.zeros((1,), jnp.int32),) + tuple(
+            jnp.full((1,), i, jnp.int32) for i in range(L)
+        )
+        batches.append(
+            FactorBatch(
+                idx=anchor_idx,
+                params={
+                    "sqrt_info": s.anchor_sqrt_info[None],
+                    "offset": s.anchor_offset[None],
+                    "mu_x": s.anchor_mu_x[None],
+                    "mu_v": s.anchor_mu_v[None],
+                    "mu_l": tuple(s.anchor_mu_l[i][None] for i in range(L)),
+                },
+                name="anchor",
+                residual=_anchor_residual,
+                groups=anchor_groups,
+                rdim=self.b + self.P,
+            )
+        )
+        n_chain = 1 if drop_only else W - 1
+        gp_mask = None
+        ar = jnp.arange(n_chain, dtype=jnp.int32)
+        batches.append(
+            FactorBatch(
+                idx=(ar, ar + 1),
+                params={
+                    "dt": jnp.full((n_chain,), dt, self.dtype),
+                    "qc_sqrt_info": jnp.broadcast_to(
+                        qc_sqrt, (n_chain, self.d, self.d)
+                    ),
+                },
+                name="gp_prior",
+                residual=gp_priors.gp_prior_linear,
+                groups=("state", "state"),
+                rdim=self.b,
+                mask=gp_mask,
+            )
+        )
+        odom_sqrt = jnp.eye(self.d, dtype=self.dtype) / jnp.asarray(
+            cfg.odom_sigma, self.dtype
+        )
+        batches.append(
+            FactorBatch(
+                idx=(ar, ar + 1),
+                params={
+                    "z": s.odom_z[:n_chain],
+                    "sqrt_info": jnp.broadcast_to(
+                        odom_sqrt, (n_chain, self.d, self.d)
+                    ),
+                },
+                name="odometry",
+                residual=measurements.between_linear,
+                groups=("state", "state"),
+                rdim=self.d,
+                mask=s.odom_mask[:n_chain],
+            )
+        )
+        rng_mask = s.rng_mask
+        if drop_only:
+            rng_mask = rng_mask * (s.rng_interval == 0).astype(rng_mask.dtype)
+        # clamp intervals into range so gathers stay in-bounds; mask kills
+        # the contribution of out-of-window entries
+        iv = jnp.clip(s.rng_interval, 0, cfg.window - 2)
+        batches.append(
+            FactorBatch(
+                idx=(iv, iv + 1, s.rng_lm),
+                params={
+                    "dt": jnp.full((C,), dt, self.dtype),
+                    "tau": s.rng_tau,
+                    "z": s.rng_z,
+                    "inv_sigma": jnp.full(
+                        (C,), 1.0 / cfg.range_sigma, self.dtype
+                    ),
+                },
+                name="interp_range",
+                residual=measurements.interp_range_linear,
+                groups=("state", "state", "landmark"),
+                rdim=1,
+                mask=rng_mask,
+            )
+        )
+        return Graph(batches=tuple(batches), manifolds=self._man)
+
+    def _values(self, s: SmootherState):
+        return {"state": (s.x, s.v), "landmark": s.landmarks}
+
+    # ------------------------------------------------------------- init
+    def init(self, x0, v0, landmarks0, prior_sigma_state=0.01,
+             prior_sigma_lm=100.0, odom_z=None, ranges=None) -> SmootherState:
+        """Start a window (host-side, not jitted).
+
+        x0/v0 (W, d): initial trajectory guess.
+        odom_z (W-1, d): odometry for the initial window's intervals.
+        ranges: optional dict {interval (K,), tau (K,), z (K,), lm (K,)} of
+        range measurements inside the initial window (interval in [0, W-2]).
+
+        Ring-buffer layout invariant: position block k = slots [kR, (k+1)R)
+        holds measurements of interval k-1, so each entry is overwritten
+        exactly when its interval slides below 0.
+        """
+        cfg = self.config
+        W, L, C = cfg.window, self.n_landmarks, self.C
+        R = cfg.ranges_per_step
+        dt = self.dtype
+        bP = self.b + self.P
+        # gauge anchor: strong on state 0 (matches the batch problem's
+        # first-state prior), weak on landmarks
+        info = np.diag(
+            [1.0 / prior_sigma_state] * self.b + [1.0 / prior_sigma_lm] * self.P
+        )
+
+        if odom_z is None:
+            oz = np.zeros((W - 1, self.d))
+            om = np.zeros((W - 1,))
+        else:
+            oz = np.asarray(odom_z, np.float64)
+            om = np.ones((W - 1,))
+
+        r_iv = np.full((C,), -1, np.int64)
+        r_lm = np.zeros((C,), np.int64)
+        r_tau = np.full((C,), 0.5 * cfg.dt)
+        r_z = np.zeros((C,))
+        r_m = np.zeros((C,))
+        if ranges is not None:
+            fill = {}
+            for k in range(len(ranges["interval"])):
+                iv = int(ranges["interval"][k])
+                if not (0 <= iv <= W - 2):
+                    continue
+                blk = iv + 1
+                j = fill.get(blk, 0)
+                if j >= R:
+                    continue  # per-interval capacity exceeded: drop
+                p = blk * R + j
+                fill[blk] = j + 1
+                r_iv[p] = iv
+                r_lm[p] = int(ranges["lm"][k])
+                r_tau[p] = float(ranges["tau"][k])
+                r_z[p] = float(ranges["z"][k])
+                r_m[p] = 1.0
+
+        return SmootherState(
+            x=jnp.asarray(x0, dt),
+            v=jnp.asarray(v0, dt),
+            landmarks=jnp.asarray(landmarks0, dt),
+            anchor_sqrt_info=jnp.asarray(info, dt),
+            anchor_offset=jnp.zeros((bP,), dt),
+            anchor_mu_x=jnp.asarray(x0[0], dt),
+            anchor_mu_v=jnp.asarray(v0[0], dt),
+            anchor_mu_l=jnp.asarray(landmarks0, dt),
+            odom_z=jnp.asarray(oz, dt),
+            odom_mask=jnp.asarray(om, dt),
+            rng_interval=jnp.asarray(r_iv, jnp.int32),
+            rng_lm=jnp.asarray(r_lm, jnp.int32),
+            rng_tau=jnp.asarray(r_tau, dt),
+            rng_z=jnp.asarray(r_z, dt),
+            rng_mask=jnp.asarray(r_m, dt),
+            step_count=jnp.zeros((), jnp.int32),
+        )
+
+    # ----------------------------------------------------------- settle
+    def settle(self, s: SmootherState, iters: int = 10) -> SmootherState:
+        """Re-solve the current window without sliding (cold-start or after
+        batch-inserting measurements)."""
+        if not hasattr(self, "_settle_cache"):
+            self._settle_cache = {}
+        if iters not in self._settle_cache:
+            self._settle_cache[iters] = jax.jit(
+                lambda st: self._solve_window(st, iters)[0]
+            )
+        return self._settle_cache[iters](s)
+
+    def _solve_window(self, s: SmootherState, iters: int) -> SmootherState:
+        from .graph import graph as graphlib
+        from .ops import tridiag
+
+        cfg = self.config
+        graph = self._graph(s)
+        roles = self._roles()
+        L = self.n_landmarks
+
+        def error_fn(vals):
+            return graphlib.error(graph, vals)
+
+        def step_fn(vals, lam_):
+            lins = graphlib.linearize(graph, vals)
+            D, U, g_s, H_sl, H_ll, g_l = chain_ops.assemble_chain(
+                graph, lins, vals, roles, "state", "landmark"
+            )
+            ds, dl = tridiag.schur_arrowhead_solve(
+                D, U, g_s, H_sl, H_ll, g_l, lam_, False
+            )
+            return {"state": ds, "landmark": dl.reshape(L, self.d)}
+
+        def retract_fn(vals, delta):
+            return graphlib.retract_all(graph, vals, delta)
+
+        cfg_lm = LMConfig(max_iterations=iters, lambda_init=cfg.lambda_fixed)
+        vals, stats = _lm_loop(
+            self._values(s), error_fn, step_fn, retract_fn, cfg_lm, self.dtype
+        )
+        return s.replace(x=vals["state"][0], v=vals["state"][1],
+                         landmarks=vals["landmark"]), stats
+
+    # ------------------------------------------------------------- step
+    def step(self, s: SmootherState, odom_z, rng_tau, rng_z, rng_lm,
+             rng_valid) -> Tuple[SmootherState, Dict[str, Any]]:
+        """Advance one interval: slide + insert measurements + re-solve.
+
+        odom_z (d,): relative-position odometry for the new interval.
+        rng_* (ranges_per_step,): new range measurements at tau in the NEW
+        newest interval; rng_valid is a 0/1 mask for unused slots.
+        """
+        return self._step(
+            s,
+            jnp.asarray(odom_z, self.dtype),
+            jnp.asarray(rng_tau, self.dtype),
+            jnp.asarray(rng_z, self.dtype),
+            jnp.asarray(rng_lm, jnp.int32),
+            jnp.asarray(rng_valid, self.dtype),
+        )
+
+    def _step_impl(self, s, odom_z, rng_tau, rng_z, rng_lm, rng_valid):
+        cfg = self.config
+        W, L = cfg.window, self.n_landmarks
+        b, P = self.b, self.P
+        dt = self.dtype
+
+        # ---- 1. marginalize the departing state onto (state 1, landmarks)
+        drop_graph = self._graph(s, drop_only=True)
+        values = self._values(s)
+        from .graph import graph as graphlib
+
+        lins = graphlib.linearize(drop_graph, values)
+        layout, Dtot = dense_ops.tangent_layout(drop_graph, values)
+        H, g = dense_ops.assemble_dense(drop_graph, lins, layout, Dtot, dt)
+        lm_off = layout["landmark"][0]
+        # rows: [state0 | state1 | landmarks]
+        i0 = jnp.arange(b)
+        i1 = jnp.arange(b, 2 * b)
+        il = lm_off + jnp.arange(P)
+        ir = jnp.concatenate([i1, il])
+        H00 = H[jnp.ix_(i0, i0)]
+        H0r = H[jnp.ix_(i0, ir)]
+        Hrr = H[jnp.ix_(ir, ir)]
+        g0 = g[i0]
+        gr = g[ir]
+        L00 = sb.cholesky(H00 + 1e-8 * jnp.eye(b, dtype=dt))
+        X = sb.chol_solve(L00, H0r)  # H00^{ -1} H0r
+        Lam = Hrr - H0r.T @ X
+        gnew = gr - X.T @ g0
+        Lc = jnp.linalg.cholesky(Lam + 1e-8 * jnp.eye(b + P, dtype=dt))
+        sqrt_info = Lc.T  # A with A^T A = Lam
+        offset = jax.scipy.linalg.solve_triangular(Lc, gnew, lower=True)
+
+        # ---- 2. roll the window
+        x = jnp.concatenate(
+            [s.x[1:], (s.x[-1] + cfg.dt * s.v[-1])[None]], 0
+        )
+        v = jnp.concatenate([s.v[1:], s.v[-1][None]], 0)
+        odom_z_new = jnp.concatenate([s.odom_z[1:], odom_z[None]], 0)
+        odom_mask = jnp.concatenate(
+            [s.odom_mask[1:], jnp.ones((1,), dt)], 0
+        )
+        R = cfg.ranges_per_step
+        rng_interval = jnp.concatenate(
+            [s.rng_interval[R:] - 1, jnp.full((R,), W - 2, jnp.int32)], 0
+        )
+        rng_lm_all = jnp.concatenate([s.rng_lm[R:], rng_lm], 0)
+        rng_tau_all = jnp.concatenate([s.rng_tau[R:], rng_tau], 0)
+        rng_z_all = jnp.concatenate([s.rng_z[R:], rng_z], 0)
+        rng_mask = jnp.concatenate(
+            [s.rng_mask[R:] * (rng_interval[:-R] >= 0).astype(dt), rng_valid], 0
+        )
+
+        s2 = s.replace(
+            x=x, v=v,
+            anchor_sqrt_info=sqrt_info,
+            anchor_offset=offset,
+            anchor_mu_x=s.x[1],
+            anchor_mu_v=s.v[1],
+            anchor_mu_l=s.landmarks,
+            odom_z=odom_z_new, odom_mask=odom_mask,
+            rng_interval=rng_interval, rng_lm=rng_lm_all,
+            rng_tau=rng_tau_all, rng_z=rng_z_all, rng_mask=rng_mask,
+            step_count=s.step_count + 1,
+        )
+
+        # ---- 3. warm-started damped iterations on the window
+        s3, stats = self._solve_window(s2, cfg.iters_per_step)
+        out = {
+            "x": s3.x, "v": s3.v, "landmarks": s3.landmarks,
+            "head_x": s3.x[-1], "head_v": s3.v[-1],
+            "chi2": stats.error,
+        }
+        return s3, out
+
+    def _roles(self):
+        if not hasattr(self, "_roles_cache"):
+            dummy = self.init(
+                np.zeros((self.config.window, self.d)),
+                np.zeros((self.config.window, self.d)),
+                np.zeros((self.n_landmarks, self.d)),
+            )
+            g = self._graph(dummy)
+            self._roles_cache = chain_ops.build_role_table(
+                g, "state", "landmark"
+            )
+        return self._roles_cache

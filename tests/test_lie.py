@@ -230,6 +230,45 @@ def test_se2_small_angle_ad_safe():
     assert np.all(np.isfinite(g2))
 
 
+def test_so3_log_grad_at_identity():
+    """d log(R)/d delta at R == I must be finite (regression: odometry-
+    integrated inits make relative rotations EXACTLY identity; norm(qv) had
+    a NaN derivative there)."""
+    def f(w):
+        return so3.log(so3.exp(w))
+
+    J = jax.jacobian(f)(jnp.zeros(3))
+    assert np.all(np.isfinite(J))
+    np.testing.assert_allclose(J, np.eye(3), atol=1e-10)
+
+    # through a between-style composition at identical poses
+    def g(d):
+        R1 = so3.exp(jnp.array([0.3, -0.2, 0.5]))
+        R2 = so3.exp(jnp.array([0.3, -0.2, 0.5])) @ so3.exp(d)
+        return so3.log(jnp.swapaxes(R1, -1, -2) @ R2)
+
+    Jg = jax.jacobian(g)(jnp.zeros(3))
+    assert np.all(np.isfinite(Jg))
+
+
+def test_se3_between_jacobian_finite_at_exact_odometry():
+    from gpslam_tpu.factors import measurements
+
+    xi = jnp.asarray(RNG.normal(size=(6,)) * 0.4)
+    T1 = se3.exp(xi)
+    rel = jnp.asarray(RNG.normal(size=(6,)) * 0.3)
+    T2 = se3.compose(*T1, *se3.exp(rel))
+    zR, zt = se3.exp(rel)  # measurement equals the true relative pose
+    params = {"z_R": zR, "z_t": zt, "sqrt_info": jnp.eye(6)}
+
+    def res(d):
+        T2p = se3.retract(*T2, d)
+        return measurements.between_se3((T1, None), (T2p, None), params)
+
+    J = jax.jacobian(res)(jnp.zeros(6))
+    assert np.all(np.isfinite(J)), J
+
+
 # ---------------------------------------------------------------- f32 path
 
 
