@@ -48,12 +48,13 @@ def make_solver(graph):
 
 def time_solve(solve, graph, values, repeats=3):
     vals, stats = solve(graph, values)
-    jax.block_until_ready(stats.error)  # compile + first run
+    float(stats.error)  # compile + first run; host fetch forces completion
+    # (block_until_ready is unreliable through the axon tunnel)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         vals, stats = solve(graph, values)
-        jax.block_until_ready(stats.error)
+        float(stats.error)
         best = min(best, time.perf_counter() - t0)
     return best, stats
 

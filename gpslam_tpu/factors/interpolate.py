@@ -12,10 +12,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..gp import wnoa
+from ..gp import wnoa, wnoj
 from ..lie import se2, se3
 
 interp_linear = wnoa.interpolate  # (xi, vi, xj, vj, dt, tau) -> (x, v)
+interp_linear_wnoj = wnoj.interpolate  # (..., ai, ..., aj, dt, tau) -> (x, v, a)
 
 
 def _gamma_coeffs(dt, tau):

@@ -134,6 +134,17 @@ def interp_range_linear(state_i, state_j, landmark, params):
     return r[..., None]
 
 
+def interp_range_linear_wnoj(state_i, state_j, landmark, params):
+    """WNOJ variant of the interpolated range factor (config-4 model class
+    on vector states: (x, v, a) chain nodes)."""
+    (xi, vi, ai), (xj, vj, aj) = state_i, state_j
+    x_tau, _, _ = interpolate.interp_linear_wnoj(
+        xi, vi, ai, xj, vj, aj, params["dt"], params["tau"]
+    )
+    r = (_safe_norm(x_tau - landmark) - params["z"]) * params["inv_sigma"]
+    return r[..., None]
+
+
 def interp_range_se2(state_i, state_j, landmark, params):
     (Ti, wi), (Tj, wj) = state_i, state_j
     pose, _ = interpolate.interp_se2(Ti, wi, Tj, wj, params["dt"], params["tau"])

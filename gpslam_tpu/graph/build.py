@@ -40,11 +40,14 @@ class GraphBuilder:
         params: Any,
         rdim: int,
         mask: Any = None,
+        robust=None,
+        linearizer=None,
     ) -> "GraphBuilder":
         """Add a homogeneous batch of factors.
 
         idx: per slot, (M,) integer array of rows into that slot's group.
         params: pytree of (M, ...) arrays. mask: optional (M,) 0/1 weights.
+        robust: optional ("huber"|"cauchy"|..., k) m-estimator tuple.
         """
         for g in groups:
             if g not in self._manifolds:
@@ -59,7 +62,8 @@ class GraphBuilder:
         self._batches.append(
             FactorBatch(
                 idx=idx, params=params, name=name, residual=residual,
-                groups=tuple(groups), rdim=rdim, mask=mask,
+                groups=tuple(groups), rdim=rdim, mask=mask, robust=robust,
+                linearizer=linearizer,
             )
         )
         return self
@@ -69,7 +73,7 @@ class GraphBuilder:
         merged: Dict[Tuple, List[FactorBatch]] = {}
         order: List[Tuple] = []
         for b in self._batches:
-            key = (b.name, b.residual, b.groups, b.rdim)
+            key = (b.name, b.residual, b.groups, b.rdim, b.robust, b.linearizer)
             if key not in merged:
                 merged[key] = []
                 order.append(key)
@@ -99,7 +103,8 @@ class GraphBuilder:
                     FactorBatch(
                         idx=idx, params=params, name=bs[0].name,
                         residual=bs[0].residual, groups=bs[0].groups,
-                        rdim=bs[0].rdim, mask=mask,
+                        rdim=bs[0].rdim, mask=mask, robust=bs[0].robust,
+                        linearizer=bs[0].linearizer,
                     )
                 )
         return Graph(batches=tuple(out), manifolds=dict(self._manifolds))

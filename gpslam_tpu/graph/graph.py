@@ -45,6 +45,16 @@ class FactorBatch:
     # optional (M,) 0/1 weights: 0 disables a factor (padding for sharding,
     # inactive factors in the sliding window). None means all-active.
     mask: Any = None
+    # optional robust m-estimator: (name, k), e.g. ("huber", 1.345).
+    # Applied on top of the whitened residual (GTSAM Robust noise model
+    # semantics, SURVEY.md §2.2 S3): error uses loss(|r|), linearization
+    # scales (r, J) by sqrt(weight(|r|)) (IRLS).
+    robust: Any = struct.field(pytree_node=False, default=None)
+    # optional hand-derived linearizer: (slot_values..., params) ->
+    # (whitened r, tuple of whitened J per slot), replacing the jacfwd
+    # default (the reference's analytic evaluateError Jacobians, ~10x
+    # cheaper than AD for high-slot-count factors).
+    linearizer: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def size(self) -> int:
@@ -94,7 +104,17 @@ def error(graph: Graph, values) -> jnp.ndarray:
     total = jnp.zeros((), _result_dtype(values))
     for b in graph.batches:
         r = batch_residuals(b, values)
-        total = total + 0.5 * jnp.sum(r * r)
+        if b.robust is None:
+            total = total + 0.5 * jnp.sum(r * r)
+        else:
+            from ..factors import robust as robust_mod
+
+            loss_fn, _ = robust_mod.get(b.robust[0])
+            e = robust_mod.residual_norm(r)
+            losses = loss_fn(e, b.robust[1])
+            if b.mask is not None:
+                losses = losses * b.mask.astype(losses.dtype)
+            total = total + jnp.sum(losses)
     return total
 
 
@@ -121,20 +141,31 @@ def linearize_batch(batch: FactorBatch, manifolds, values) -> LinearizedBatch:
     dims = tuple(manifolds[g].dim for g in batch.groups)
     dtype = _result_dtype(values)
 
-    def one(slot_vals, params_one):
-        def at_delta(deltas):
-            perturbed = tuple(
-                manifolds[g].retract(v, d)
-                for g, v, d in zip(batch.groups, slot_vals, deltas)
-            )
-            return batch.residual(*perturbed, params_one)
+    if batch.linearizer is not None:
+        def one(slot_vals, params_one):
+            return batch.linearizer(*slot_vals, params_one)
+    else:
+        def one(slot_vals, params_one):
+            def at_delta(deltas):
+                perturbed = tuple(
+                    manifolds[g].retract(v, d)
+                    for g, v, d in zip(batch.groups, slot_vals, deltas)
+                )
+                return batch.residual(*perturbed, params_one)
 
-        zeros = tuple(jnp.zeros((d,), dtype) for d in dims)
-        r = at_delta(zeros)
-        J = jax.jacfwd(at_delta)(zeros)
-        return r, J
+            zeros = tuple(jnp.zeros((d,), dtype) for d in dims)
+            r = at_delta(zeros)
+            J = jax.jacfwd(at_delta)(zeros)
+            return r, J
 
     r, J = jax.vmap(one)(gathered, batch.params)
+    if batch.robust is not None:
+        from ..factors import robust as robust_mod
+
+        _, weight_fn = robust_mod.get(batch.robust[0])
+        w = jnp.sqrt(weight_fn(robust_mod.residual_norm(r), batch.robust[1]))
+        r = r * w[:, None]
+        J = tuple(Ji * w[:, None, None] for Ji in J)
     if batch.mask is not None:
         m = batch.mask.astype(r.dtype)
         r = r * m[:, None]

@@ -20,7 +20,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from ..factors import gp_priors, measurements
+from ..factors import gp_priors, linearizers, measurements
 from ..graph import GraphBuilder, manifolds
 
 
@@ -54,6 +54,7 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
             ),
         },
         rdim=4,
+        linearizer=linearizers.prior_linear_state,
     )
 
     # GP WNOA chain
@@ -70,6 +71,7 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
             ),
         },
         rdim=4,
+        linearizer=linearizers.gp_prior_linear,
     )
 
     # odometry between factors
@@ -86,6 +88,7 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
             ),
         },
         rdim=2,
+        linearizer=linearizers.between_linear,
     )
 
     # interpolated range factors
@@ -103,6 +106,7 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
                 "inv_sigma": jnp.full((m,), 1.0 / float(data["range_sigma"]), dtype),
             },
             rdim=1,
+            linearizer=linearizers.interp_range_linear,
         )
 
     # weak landmark priors
@@ -118,6 +122,7 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
             ),
         },
         rdim=2,
+        linearizer=linearizers.prior_vector,
     )
 
     values = {

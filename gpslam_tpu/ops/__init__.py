@@ -1,3 +1,3 @@
-"""Linear-algebra backends (ref S6-S9): dense, block-tridiag scan, Schur."""
+"""Linear-algebra backends (ref S6-S9): dense, BCR chain+Schur, PCG."""
 
-from . import dense  # noqa: F401
+from . import chain, dense, matfree, pcg, smallblock, tridiag  # noqa: F401

@@ -15,6 +15,22 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bootstrap (SURVEY.md §5.8a): thin wrapper over
+    jax.distributed.initialize. On single-host (or when already initialized)
+    this is a no-op, so the same entry point works for 1-host dev runs and
+    N-host pods (args default to TPU auto-detection on Cloud TPU)."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process run without coordinator
+
+
 def make_mesh(n_devices: int | None = None, axis_name: str = "factor") -> Mesh:
     """1-D mesh over the first n_devices (default: all) local devices."""
     devs = jax.devices()

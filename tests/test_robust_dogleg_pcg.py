@@ -1,0 +1,149 @@
+"""Robust m-estimators (S3), Dogleg optimizer (S10), PCG backend tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpslam_tpu.config import LMConfig
+from gpslam_tpu.factors import robust
+from gpslam_tpu.graph import graph as graphlib
+from gpslam_tpu.io import synthetic
+from gpslam_tpu.models import linear2d, pose2_slam
+from gpslam_tpu.ops import pcg
+from gpslam_tpu.solve import dogleg_solve, lm_solve, make_dense_solver
+
+RNG = np.random.default_rng(31)
+
+
+# ------------------------------------------------------------ m-estimators
+
+
+@pytest.mark.parametrize(
+    "name,k", [("huber", 1.345), ("cauchy", 0.1), ("tukey", 4.685),
+               ("geman_mcclure", 1.0), ("dcs", 1.0), ("welsch", 2.0)]
+)
+def test_weight_is_loss_derivative(name, k):
+    """IRLS consistency: weight(e) == loss'(e)/e."""
+    loss_fn, weight_fn = robust.get(name)
+    e = jnp.asarray(np.linspace(0.05, 5.0, 40))
+    dloss = jax.vmap(jax.grad(lambda x: loss_fn(x, k)))(e)
+    np.testing.assert_allclose(weight_fn(e, k), dloss / e, rtol=1e-6,
+                               atol=1e-8)
+
+
+@pytest.mark.parametrize("name,k", [("huber", 1.345), ("dcs", 1.0),
+                                    ("tukey", 4.685)])
+def test_loss_continuous_at_threshold(name, k):
+    loss_fn, _ = robust.get(name)
+    sw = k if name != "dcs" else np.sqrt(k)
+    lo = float(loss_fn(jnp.asarray(sw - 1e-7), k))
+    hi = float(loss_fn(jnp.asarray(sw + 1e-7), k))
+    assert abs(hi - lo) < 1e-5
+
+
+def test_robust_range_slam_rejects_outliers():
+    """Huber on range factors: corrupt 10% of ranges with gross outliers;
+    the robust solve must stay close to truth, the L2 solve degrades."""
+    data = synthetic.make_linear2d_range_slam(
+        n_states=60, ranges_per_interval=0.8, seed=41
+    )
+    m = data["range_z"].shape[0]
+    out_idx = RNG.choice(m, size=max(1, m // 10), replace=False)
+    data["range_z"] = data["range_z"].copy()
+    data["range_z"][out_idx] += RNG.uniform(10, 30, size=out_idx.shape)
+
+    def build(robust_spec):
+        graph, values = linear2d.build(data, dtype=jnp.float64)
+        if robust_spec is not None:
+            batches = tuple(
+                b.replace(robust=robust_spec) if b.name == "interp_range" else b
+                for b in graph.batches
+            )
+            graph = graph.replace(batches=batches)
+        return graph, values
+
+    g_l2, v = build(None)
+    vals_l2, _ = lm_solve(g_l2, v, LMConfig())
+    g_rob, v = build(("huber", 1.345))
+    vals_rob, stats = lm_solve(g_rob, v, LMConfig())
+    gt = data["gt_pos"]
+    rmse_l2 = np.sqrt(((np.asarray(vals_l2["state"][0]) - gt) ** 2).sum(-1).mean())
+    rmse_rob = np.sqrt(((np.asarray(vals_rob["state"][0]) - gt) ** 2).sum(-1).mean())
+    assert rmse_rob < 0.6 * rmse_l2, (rmse_rob, rmse_l2)
+
+
+def test_robust_error_value():
+    """Graph error with Huber equals the hand-computed sum of losses."""
+    data = synthetic.make_linear2d_range_slam(n_states=20, seed=5)
+    graph, values = linear2d.build(data, dtype=jnp.float64)
+    batches = tuple(
+        b.replace(robust=("huber", 0.5)) if b.name == "interp_range" else b
+        for b in graph.batches
+    )
+    g_rob = graph.replace(batches=batches)
+    e_rob = float(graphlib.error(g_rob, values))
+    # hand computation
+    total = 0.0
+    for b, b0 in zip(g_rob.batches, graph.batches):
+        r = np.asarray(graphlib.batch_residuals(b0, values))
+        if b.robust is None:
+            total += 0.5 * (r**2).sum()
+        else:
+            e = np.sqrt((r**2).sum(-1) + 1e-12)
+            k = 0.5
+            total += np.where(e <= k, 0.5 * e * e, k * (e - 0.5 * k)).sum()
+    assert e_rob == pytest.approx(total, rel=1e-9)
+
+
+# ------------------------------------------------------------------ dogleg
+
+
+def test_dogleg_converges_to_lm_solution():
+    data = synthetic.make_linear2d_range_slam(n_states=40, seed=8)
+    graph, values = linear2d.build(data, dtype=jnp.float64)
+    vals_dl, stats_dl = dogleg_solve(graph, values)
+    vals_lm, stats_lm = lm_solve(graph, values, LMConfig())
+    assert float(stats_dl.error) == pytest.approx(
+        float(stats_lm.error), rel=1e-3
+    )
+    assert bool(stats_dl.converged)
+
+
+def test_dogleg_jits():
+    data = synthetic.make_linear2d_range_slam(n_states=20, seed=9)
+    graph, values = linear2d.build(data, dtype=jnp.float32)
+    f = jax.jit(lambda g, v: dogleg_solve(g, v)[1].error)
+    e = float(f(graph, values))
+    assert np.isfinite(e)
+
+
+# --------------------------------------------------------------------- pcg
+
+
+def test_pcg_backend_matches_dense_on_loop_closure_graph():
+    """PCG handles the graphs the chain solver rejects."""
+    data = synthetic.make_se2_pose_graph(n_states=80, seed=4)
+    assert data["lc_i"].shape[0] > 0
+    graph, values = pose2_slam.build(data, dtype=jnp.float64)
+    solver = pcg.make_pcg_solver(max_iters=500, tol=1e-10)
+    vals_p, st_p = lm_solve(graph, values, LMConfig(), solver=solver)
+    vals_d, st_d = lm_solve(graph, values, LMConfig(),
+                            solver=make_dense_solver(False))
+    assert float(st_p.error) == pytest.approx(float(st_d.error), rel=1e-4)
+
+
+def test_pcg_linear_system_accuracy():
+    """One PCG solve == dense solve of the damped normal equations."""
+    data = synthetic.make_linear2d_range_slam(n_states=25, seed=3)
+    graph, values = linear2d.build(data, dtype=jnp.float64)
+    lins = graphlib.linearize(graph, values)
+    lam = jnp.asarray(0.1, jnp.float64)
+    d_pcg = pcg.make_pcg_solver(max_iters=400, tol=1e-12)(
+        graph, values, lins, lam
+    )
+    d_dense = make_dense_solver(False)(graph, values, lins, lam)
+    for k in d_dense:
+        np.testing.assert_allclose(
+            np.asarray(d_pcg[k]), np.asarray(d_dense[k]), atol=1e-7
+        )
