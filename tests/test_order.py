@@ -1,0 +1,87 @@
+"""Host-side symbolic phase: native minimum-degree ordering, elimination
+tree, fill counts (ref S7-S8)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpslam_tpu.io import synthetic
+from gpslam_tpu.models import pose2_slam
+from gpslam_tpu.ops import order
+
+
+def chain_adjacency(n):
+    indptr = [0]
+    indices = []
+    for i in range(n):
+        nb = [j for j in (i - 1, i + 1) if 0 <= j < n]
+        indices.extend(nb)
+        indptr.append(len(indices))
+    return np.asarray(indptr, np.int64), np.asarray(indices, np.int64)
+
+
+def test_native_library_loads():
+    lib = order._load_native()
+    assert lib is not None, "native md_order.so should compile (g++ present)"
+
+
+def test_chain_ordering_is_fill_free():
+    indptr, indices = chain_adjacency(50)
+    perm = order.min_degree_ordering(indptr, indices)
+    assert sorted(perm.tolist()) == list(range(50))
+    _, parent, fill = order.symbolic_factor(indptr, indices, perm)
+    assert fill == 0, "minimum degree on a chain must produce no fill"
+
+
+def test_native_matches_python_quality():
+    rng = np.random.default_rng(3)
+    n = 40
+    pairs = set()
+    for i in range(n - 1):
+        pairs.add((i, i + 1))
+    for _ in range(15):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    adj = [[] for _ in range(n)]
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    indptr = np.zeros(n + 1, np.int64)
+    for i in range(n):
+        indptr[i + 1] = indptr[i] + len(adj[i])
+    indices = np.concatenate([np.sort(adj[i]) for i in range(n)]).astype(np.int64)
+
+    perm_native = order.min_degree_ordering(indptr, indices)
+    perm_py = order._min_degree_py(indptr, indices)
+    _, _, fill_native = order.symbolic_factor(indptr, indices, perm_native)
+    _, _, fill_py = order.symbolic_factor(indptr, indices, perm_py)
+    _, _, fill_natural = order.symbolic_factor(
+        indptr, indices, np.arange(n, dtype=np.int64)
+    )
+    # both implementations produce valid low-fill orders
+    assert fill_native <= fill_natural
+    assert abs(fill_native - fill_py) <= max(3, fill_py)
+
+
+def test_graph_adjacency_and_ordering():
+    data = synthetic.make_se2_pose_graph(n_states=60, seed=4)
+    graph, values = pose2_slam.build(data, dtype=jnp.float32)
+    indptr, indices, names = order.adjacency_from_graph(graph, values)
+    n = len(names)
+    assert indptr.shape == (n + 1,)
+    perm = order.min_degree_ordering(indptr, indices)
+    struct, parent, fill = order.symbolic_factor(indptr, indices, perm)
+    levels = order.etree_levels(parent)
+    # levels respect dependencies: every node's parent is in a later level
+    pos_level = {}
+    for li, lv in enumerate(levels):
+        for j in lv:
+            pos_level[j] = li
+    for j in range(n):
+        if parent[j] >= 0:
+            assert pos_level[parent[j]] > pos_level[j]
+    # ordering beats natural order on fill for loop-closure graphs
+    _, _, fill_nat = order.symbolic_factor(indptr, indices,
+                                           np.arange(n, dtype=np.int64))
+    assert fill <= fill_nat
