@@ -1,3 +1,14 @@
-"""Linear-algebra backends (ref S6-S9): dense, BCR chain+Schur, PCG."""
+"""Linear-algebra backends (ref S6-S9): dense, BCR chain+Schur, PCG,
+supernodal sparse Cholesky, Pallas kernels, host-side ordering."""
 
-from . import chain, dense, matfree, pcg, smallblock, tridiag  # noqa: F401
+from . import (  # noqa: F401
+    chain,
+    dense,
+    matfree,
+    order,
+    pallas_chol,
+    pcg,
+    smallblock,
+    supernodal,
+    tridiag,
+)

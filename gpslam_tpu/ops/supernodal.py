@@ -1,0 +1,256 @@
+"""General block-sparse Cholesky over the elimination-tree level schedule —
+the S9 path for graphs that fit neither the chain structure nor a dense
+Hessian (loop-closure pose graphs; SURVEY.md §2.2 S7-S9, §7 M4).
+
+Replaces GTSAM's sequential multifrontal elimination with a LEVEL-BATCHED
+left-looking block factorization driven by STATIC schedules:
+
+  host (once per sparsity pattern, ops/order.py): min-degree ordering ->
+  symbolic elimination -> block storage map -> per-level index arrays for
+  (a) update application  L[i,j] -= L[i,k] L[j,k]^T   (gather-matmul-scatter)
+  (b) column factorization (batched small-block Cholesky + solves)
+  (c) forward/backward substitution contributions.
+
+  device (every iteration): one jitted pass over the levels — every level is
+  a handful of BATCHED dense block ops (the TPU replacement for hot loop #2
+  / #3 of SURVEY.md §3.1). Assembly scatters per-factor J^T J blocks
+  straight into the block storage with precomputed destination ids.
+
+Current scope: graphs with ONE variable group (uniform block size) — the
+loop-closure pose-graph workloads; heterogeneous blocks go through the
+chain+Schur, PCG, or dense backends. Mixed-size support lands with block
+padding in a later round.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.graph import Graph
+from . import order as order_mod
+from . import smallblock as sb
+
+
+class SupernodalSolver:
+    """Build once per graph structure; `solver` property plugs into lm_solve."""
+
+    def __init__(self, graph: Graph, values):
+        groups = list(values.keys())
+        if len(groups) != 1:
+            raise ValueError(
+                "supernodal backend currently supports one variable group; "
+                f"got {groups} (use chain/PCG/dense backends)"
+            )
+        self.group = groups[0]
+        man = graph.manifolds[self.group]
+        self.b = man.dim
+        n = jax.tree_util.tree_leaves(values[self.group])[0].shape[0]
+        self.n = n
+
+        indptr, indices, _ = order_mod.adjacency_from_graph(graph, values)
+        perm = order_mod.min_degree_ordering(indptr, indices)
+        struct, parent, _fill = order_mod.symbolic_factor(indptr, indices, perm)
+        self.perm = perm  # perm[pos] = variable
+        pos = np.zeros(n, np.int64)
+        pos[perm] = np.arange(n)
+        self.pos = pos
+
+        # block storage: [0..n) diagonal blocks by column position,
+        # then off-diagonal blocks (i, j) i > j (elimination positions)
+        off_id: Dict[Tuple[int, int], int] = {}
+        nid = n
+        for j in range(n):
+            for i in struct[j]:
+                off_id[(i, j)] = nid
+                nid += 1
+        self.n_blocks = nid
+        self.off_id = off_id
+
+        levels = order_mod.etree_levels(parent)
+        self.levels = levels
+
+        # ---- schedules -------------------------------------------------
+        # update triples per level of the destination column j:
+        #   dst block (i, j) [diag if i == j]  -=  L[i,k] @ L[j,k]^T
+        upd: List[List[Tuple[int, int, int]]] = [[] for _ in levels]
+        level_of = np.zeros(n, np.int64)
+        for li, lv in enumerate(levels):
+            for j in lv:
+                level_of[j] = li
+        for k in range(n):
+            sk = struct[k]
+            for a, j in enumerate(sk):
+                lj = int(level_of[j])
+                upd[lj].append((j, off_id[(j, k)], off_id[(j, k)]))
+                for i in sk[a + 1 :]:
+                    upd[lj].append((off_id[(i, j)], off_id[(i, k)], off_id[(j, k)]))
+        self.upd_sched = [
+            (
+                np.asarray([t[0] for t in u], np.int32),
+                np.asarray([t[1] for t in u], np.int32),
+                np.asarray([t[2] for t in u], np.int32),
+            )
+            for u in upd
+        ]
+        # column factorization per level: diagonal ids == column positions;
+        # off blocks of the column + their diag id
+        self.col_sched = []
+        for lv in levels:
+            cols = np.asarray(lv, np.int32)
+            offs = []
+            offs_diag = []
+            for j in lv:
+                for i in struct[j]:
+                    offs.append(off_id[(i, j)])
+                    offs_diag.append(j)
+            self.col_sched.append(
+                (cols, np.asarray(offs, np.int32), np.asarray(offs_diag, np.int32))
+            )
+        # forward solve: y[j] -= L[j,k] y[k] for j in struct[k] (dst level of j)
+        fwd: List[List[Tuple[int, int, int]]] = [[] for _ in levels]
+        for k in range(n):
+            for j in struct[k]:
+                fwd[int(level_of[j])].append((j, off_id[(j, k)], k))
+        self.fwd_sched = [
+            (
+                np.asarray([t[0] for t in f], np.int32),
+                np.asarray([t[1] for t in f], np.int32),
+                np.asarray([t[2] for t in f], np.int32),
+            )
+            for f in fwd
+        ]
+        # backward solve: x[j] -= L[i,j]^T x[i] for i in struct[j]
+        bwd: List[List[Tuple[int, int, int]]] = [[] for _ in levels]
+        for j in range(n):
+            for i in struct[j]:
+                bwd[int(level_of[j])].append((j, off_id[(i, j)], i))
+        self.bwd_sched = [
+            (
+                np.asarray([t[0] for t in bb], np.int32),
+                np.asarray([t[1] for t in bb], np.int32),
+                np.asarray([t[2] for t in bb], np.int32),
+            )
+            for bb in bwd
+        ]
+
+        # ---- factor-batch assembly destinations ------------------------
+        # per batch, per ordered slot pair (s, t): destination block id and
+        # whether the contribution must be transposed (stored lower)
+        self.assembly = []
+        for batch in graph.batches:
+            idx = [np.asarray(ix) for ix in batch.idx]
+            per_pair = []
+            for s in range(len(batch.groups)):
+                for t in range(len(batch.groups)):
+                    ps = pos[idx[s]]
+                    pt = pos[idx[t]]
+                    if s == t:
+                        dst = ps.astype(np.int32)
+                        transpose = np.zeros(len(ps), bool)
+                        keep = np.ones(len(ps), bool)
+                    elif s < t:
+                        dst = np.zeros(len(ps), np.int32)
+                        transpose = ps < pt  # store at (max, min)
+                        keep = np.ones(len(ps), bool)
+                        for m in range(len(ps)):
+                            i, j = (int(pt[m]), int(ps[m])) if ps[m] < pt[m] else (
+                                int(ps[m]), int(pt[m]))
+                            dst[m] = off_id[(i, j)]
+                    else:
+                        continue  # (t, s) with t < s already covered
+                    per_pair.append((s, t, jnp.asarray(dst),
+                                     jnp.asarray(transpose), keep))
+            self.assembly.append(per_pair)
+
+    # ------------------------------------------------------------ numeric
+    def assemble(self, graph, lins, values, lam):
+        dtype = jax.tree_util.tree_leaves(values)[0].dtype
+        b = self.b
+        blocks = jnp.zeros((self.n_blocks, b, b), dtype)
+        g = jnp.zeros((self.n, b), dtype)
+        for batch, lin, pairs in zip(graph.batches, lins, self.assembly):
+            for s in range(len(batch.groups)):
+                contrib = jnp.einsum("mri,mr->mi", lin.J[s], lin.r)
+                ps = jnp.asarray(self.pos)[batch.idx[s]]
+                g = g.at[ps].add(contrib)
+            for s, t, dst, transpose, _keep in pairs:
+                blk = jnp.einsum("mri,mrj->mij", lin.J[s], lin.J[t])
+                blk = jnp.where(transpose[:, None, None],
+                                jnp.swapaxes(blk, -1, -2), blk)
+                blocks = blocks.at[dst].add(blk)
+        # damping on the diagonal
+        blocks = blocks.at[jnp.arange(self.n)].add(
+            lam * jnp.eye(b, dtype=dtype)
+        )
+        return blocks, g
+
+    def factorize(self, blocks):
+        """In-place left-looking level-batched factorization: A -> L."""
+        for (u_dst, u_s1, u_s2), (cols, offs, offs_diag) in zip(
+            self.upd_sched, self.col_sched
+        ):
+            if len(u_dst):
+                upd = sb.matmul_hp(
+                    blocks[u_s1], jnp.swapaxes(blocks[u_s2], -1, -2)
+                )
+                blocks = blocks.at[u_dst].add(-upd)
+            Ld = sb.cholesky(blocks[cols])
+            blocks = blocks.at[cols].set(Ld)
+            if len(offs):
+                # L[i,j] = A[i,j] (L[j,j])^{-T}: X = solve_lower(Ljj, B^T)^T
+                B = blocks[offs]
+                Ljj = blocks[offs_diag]
+                X = jnp.swapaxes(
+                    sb.solve_lower(Ljj, jnp.swapaxes(B, -1, -2)), -1, -2
+                )
+                blocks = blocks.at[offs].set(X)
+        return blocks
+
+    def solve_factored(self, blocks, rhs):
+        """rhs (n, b) in elimination positions -> x (n, b)."""
+        y = rhs
+        for (dst, src_blk, src_col), (cols, _, _) in zip(
+            self.fwd_sched, self.col_sched
+        ):
+            if len(dst):
+                contrib = jnp.einsum(
+                    "mij,mj->mi", blocks[src_blk], y[src_col],
+                    precision="highest",
+                )
+                y = y.at[dst].add(-contrib)
+            y = y.at[cols].set(
+                sb.solve_lower(blocks[cols], y[cols][..., None])[..., 0]
+            )
+        x = y
+        for li in reversed(range(len(self.levels))):
+            dst, src_blk, src_col = self.bwd_sched[li]
+            cols = self.col_sched[li][0]
+            if len(dst):
+                contrib = jnp.einsum(
+                    "mji,mj->mi", blocks[src_blk], x[src_col],
+                    precision="highest",
+                )
+                x = x.at[dst].add(-contrib)
+            x = x.at[cols].set(
+                sb.solve_upper_from_lower(
+                    blocks[cols], x[cols][..., None]
+                )[..., 0]
+            )
+        return x
+
+    @property
+    def solver(self):
+        """lm_solve-compatible: solver(graph, values, lins, lam) -> delta."""
+        pos = jnp.asarray(self.pos)
+
+        def _solve(graph, values, lins, lam):
+            blocks, g = self.assemble(graph, lins, values, lam)
+            L = self.factorize(blocks)
+            x = self.solve_factored(L, -g)
+            return {self.group: x[pos]}
+
+        return _solve
