@@ -18,8 +18,10 @@ a window of W chain states plus the landmark set, advanced one step per
 Cost per step is O(W log W), independent of total trajectory length — the
 "cheap sequential updates" capability of iSAM2 without tree edits.
 
-This implementation targets the linear-WNOA model class (the Plaza workload);
-the Lie-state variant follows the same structure.
+Supports two model classes via the `model` argument: "linear" (vector WNOA,
+the Plaza workload) and "se2" (SE(2) pose + body velocity with GP-WNOA prior,
+odometry, and interpolated range measurements). The anchor/marginalization
+machinery is manifold-generic (it works in local coordinates).
 """
 
 from __future__ import annotations
@@ -36,22 +38,27 @@ from .config import LMConfig
 from .graph import manifolds
 from .graph.graph import FactorBatch, Graph
 from .factors import gp_priors, measurements
+from .lie import se2 as se2_lie
 from .ops import chain as chain_ops
 from .ops import dense as dense_ops
 from .ops import smallblock as sb
 from .solve.lm import _lm_loop
 
 
-def _anchor_residual(state, *args):
+def _make_anchor_residual(state_manifold):
     """Joint Gaussian anchor on (head state, all landmarks):
-    r = A [x - mu_s; v - mu_v; l_0 - mu_l0; ...] + c."""
-    *lms, params = args
-    x, v = state
-    delta = jnp.concatenate(
-        [x - params["mu_x"], v - params["mu_v"]]
-        + [lm - mu for lm, mu in zip(lms, params["mu_l"])]
-    )
-    return params["sqrt_info"] @ delta + params["offset"]
+    r = A [local(mu_state, state); l_0 - mu_l0; ...] + c.
+    Manifold-generic: `local` handles Lie states and vector states alike."""
+
+    def anchor(state, *args):
+        *lms, params = args
+        delta = jnp.concatenate(
+            [state_manifold.local((params["mu_x"], params["mu_v"]), state)]
+            + [lm - mu for lm, mu in zip(lms, params["mu_l"])]
+        )
+        return params["sqrt_info"] @ delta + params["offset"]
+
+    return anchor
 
 
 @struct.dataclass
@@ -86,6 +93,7 @@ class SmootherConfig:
     range_sigma: float = 0.3
     iters_per_step: int = 2
     lambda_fixed: float = 1e-6  # small fixed damping for the warm-started GN
+    odom_sigma_th: float = 0.0  # se2 model: rotation odometry sigma (0 -> odom_sigma)
 
 
 class FixedLagSmoother:
@@ -93,18 +101,39 @@ class FixedLagSmoother:
     step() calls reuse one compiled XLA program."""
 
     def __init__(self, config: SmootherConfig, n_landmarks: int,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, model: str = "linear"):
         self.config = config
         self.n_landmarks = n_landmarks
         self.dtype = dtype
-        self.d = 2
-        self.b = 2 * self.d
+        self.model = model
+        if model == "linear":
+            self.d = 2  # landmark / measurement space dim
+            state_man = manifolds.linear_state(2)
+            self._gp_residual = gp_priors.gp_prior_linear
+            self._odom_residual = measurements.between_linear
+            self._range_residual = measurements.interp_range_linear
+            self._qc_dim = 2
+            self._odom_dim = 2
+            self._predict = lambda x, v, dt: x + dt * v
+        elif model == "se2":
+            self.d = 2
+            state_man = manifolds.se2_state()
+            self._gp_residual = gp_priors.gp_prior_se2
+            self._odom_residual = measurements.between_se2
+            self._range_residual = measurements.interp_range_se2
+            self._qc_dim = 3
+            self._odom_dim = 3
+            self._predict = lambda p, v, dt: se2_lie.retract(p, dt * v)
+        else:
+            raise ValueError(f"unknown smoother model {model!r}")
+        self.b = state_man.dim
         self.P = n_landmarks * self.d
         self.C = config.ranges_per_step * config.window
         self._man = {
-            "state": manifolds.linear_state(self.d),
+            "state": state_man,
             "landmark": manifolds.Vector(self.d),
         }
+        self._anchor_residual = _make_anchor_residual(state_man)
         self._roles()  # build the static role table EAGERLY (host-side):
         # inside the jit trace jnp constructors yield tracers and the
         # structural check would fail
@@ -115,7 +144,8 @@ class FixedLagSmoother:
         cfg = self.config
         W, L, C = cfg.window, self.n_landmarks, self.C
         dt = jnp.asarray(cfg.dt, self.dtype)
-        qc_sqrt = jnp.eye(self.d, dtype=self.dtype) / jnp.sqrt(
+        qd = self._qc_dim
+        qc_sqrt = jnp.eye(qd, dtype=self.dtype) / jnp.sqrt(
             jnp.asarray(cfg.qc, self.dtype)
         )
         batches = []
@@ -135,7 +165,7 @@ class FixedLagSmoother:
                     "mu_l": tuple(s.anchor_mu_l[i][None] for i in range(L)),
                 },
                 name="anchor",
-                residual=_anchor_residual,
+                residual=self._anchor_residual,
                 groups=anchor_groups,
                 rdim=self.b + self.P,
             )
@@ -149,32 +179,40 @@ class FixedLagSmoother:
                 params={
                     "dt": jnp.full((n_chain,), dt, self.dtype),
                     "qc_sqrt_info": jnp.broadcast_to(
-                        qc_sqrt, (n_chain, self.d, self.d)
+                        qc_sqrt, (n_chain, qd, qd)
                     ),
                 },
                 name="gp_prior",
-                residual=gp_priors.gp_prior_linear,
+                residual=self._gp_residual,
                 groups=("state", "state"),
                 rdim=self.b,
                 mask=gp_mask,
             )
         )
-        odom_sqrt = jnp.eye(self.d, dtype=self.dtype) / jnp.asarray(
-            cfg.odom_sigma, self.dtype
-        )
+        od = self._odom_dim
+        if self.model == "se2":
+            sig_th = cfg.odom_sigma_th or cfg.odom_sigma
+            odom_sqrt = jnp.diag(jnp.asarray(
+                [1.0 / cfg.odom_sigma, 1.0 / cfg.odom_sigma, 1.0 / sig_th],
+                self.dtype,
+            ))
+        else:
+            odom_sqrt = jnp.eye(od, dtype=self.dtype) / jnp.asarray(
+                cfg.odom_sigma, self.dtype
+            )
         batches.append(
             FactorBatch(
                 idx=(ar, ar + 1),
                 params={
                     "z": s.odom_z[:n_chain],
                     "sqrt_info": jnp.broadcast_to(
-                        odom_sqrt, (n_chain, self.d, self.d)
+                        odom_sqrt, (n_chain, od, od)
                     ),
                 },
                 name="odometry",
-                residual=measurements.between_linear,
+                residual=self._odom_residual,
                 groups=("state", "state"),
-                rdim=self.d,
+                rdim=od,
                 mask=s.odom_mask[:n_chain],
             )
         )
@@ -196,7 +234,7 @@ class FixedLagSmoother:
                     ),
                 },
                 name="interp_range",
-                residual=measurements.interp_range_linear,
+                residual=self._range_residual,
                 groups=("state", "state", "landmark"),
                 rdim=1,
                 mask=rng_mask,
@@ -233,7 +271,7 @@ class FixedLagSmoother:
         )
 
         if odom_z is None:
-            oz = np.zeros((W - 1, self.d))
+            oz = np.zeros((W - 1, self._odom_dim))
             om = np.zeros((W - 1,))
         else:
             oz = np.asarray(odom_z, np.float64)
@@ -378,7 +416,7 @@ class FixedLagSmoother:
 
         # ---- 2. roll the window
         x = jnp.concatenate(
-            [s.x[1:], (s.x[-1] + cfg.dt * s.v[-1])[None]], 0
+            [s.x[1:], self._predict(s.x[-1], s.v[-1], cfg.dt)[None]], 0
         )
         v = jnp.concatenate([s.v[1:], s.v[-1][None]], 0)
         odom_z_new = jnp.concatenate([s.odom_z[1:], odom_z[None]], 0)
