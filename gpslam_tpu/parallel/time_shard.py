@@ -20,9 +20,17 @@ H_sl columns as extra right-hand sides, exactly like ops/tridiag.py.
 
 from __future__ import annotations
 
+import functools
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
+from ..config import LMConfig
+from ..graph import graph as graphlib
+from ..graph.graph import FactorBatch, Graph
 from ..ops import smallblock as sb
 from ..ops.tridiag import bcr_solve
 
@@ -119,3 +127,209 @@ def spike_schur_arrowhead_solve(D_loc, U_loc, g_loc, H_sl_loc, H_ll, g_l,
 
     ds = -z - jnp.einsum("nbp,p->nb", Y, dl, precision="highest")
     return ds, dl
+
+
+# --------------------------------------------------------------------------
+# Full time-sharded LM: trajectory chunks per device, halo exchange of the
+# neighbor boundary state (SURVEY.md §5.7 mechanism 1 — the ring-attention
+# neighbor-passing analog), local factor evaluation/assembly, SPIKE solve.
+# --------------------------------------------------------------------------
+
+
+def partition_chain_graph(graph: Graph, n_dev: int, m: int, state_group: str,
+                          lm_group: Optional[str]) -> Graph:
+    """Host-side: regroup every factor batch by time chunk with LOCAL state
+    indices (halo state = local index m), padded per chunk and stacked so
+    axis 0 shards evenly over the mesh.
+
+    Factor -> chunk assignment: by the FIRST state slot's index (two-state
+    factors are (i, i+1), so only the chunk's last factor touches the halo).
+    Landmark-only batches are assigned to chunk 0 (contributions are psum'd).
+    """
+    new_batches = []
+    for b in graph.batches:
+        idx = [np.asarray(ix) for ix in b.idx]
+        state_slots = [s for s, g in enumerate(b.groups) if g == state_group]
+        M = idx[0].shape[0]
+        if state_slots:
+            chunk = idx[state_slots[0]] // m
+        else:
+            chunk = np.zeros(M, np.int64)  # landmark-only -> chunk 0
+        mask0 = np.ones(M) if b.mask is None else np.asarray(b.mask)
+        per_chunk = [np.nonzero(chunk == c)[0] for c in range(n_dev)]
+        M_max = max(1, max(len(p) for p in per_chunk))
+        # padded rows must satisfy the chain structure (state slot k gets
+        # default local index k, so j = i + 1 holds and the role-table
+        # check passes; the mask zeroes their contribution)
+        idx_new = []
+        for s in range(len(idx)):
+            default = state_slots.index(s) if s in state_slots else 0
+            idx_new.append(np.full((n_dev, M_max), default, np.int64))
+        mask_new = np.zeros((n_dev, M_max))
+        params_flat, treedef = jax.tree_util.tree_flatten(b.params)
+        params_np = [np.asarray(x) for x in params_flat]
+        # pad with COPIES of factor 0's params, not zeros: zero params can be
+        # singular (dt=0 -> 1/dt = inf) and NaN poisons the masked residual
+        # (NaN * 0 == NaN)
+        params_new = [np.broadcast_to(x[0], (n_dev, M_max) + x.shape[1:]).copy()
+                      for x in params_np]
+        for c, rows in enumerate(per_chunk):
+            k = len(rows)
+            if k == 0:
+                continue
+            for s in range(len(idx)):
+                v = idx[s][rows]
+                if s in state_slots:
+                    v = v - c * m  # local; the halo lands at exactly m
+                idx_new[s][c, :k] = v
+            mask_new[c, :k] = mask0[rows]
+            for pi, x in enumerate(params_np):
+                params_new[pi][c, :k] = x[rows]
+        idx_final = tuple(
+            jnp.asarray(a.reshape(n_dev * M_max), jnp.int32) for a in idx_new
+        )
+        params_final = jax.tree_util.tree_unflatten(
+            treedef,
+            [jnp.asarray(a.reshape((n_dev * M_max,) + a.shape[2:]))
+             for a in params_new],
+        )
+        new_batches.append(
+            FactorBatch(
+                idx=idx_final, params=params_final, name=b.name,
+                residual=b.residual, groups=b.groups, rdim=b.rdim,
+                mask=jnp.asarray(mask_new.reshape(n_dev * M_max), jnp.float32),
+                robust=b.robust, linearizer=b.linearizer,
+            )
+        )
+    return Graph(batches=tuple(new_batches), manifolds=graph.manifolds)
+
+
+def lm_solve_time_sharded(
+    graph: Graph,
+    values0,
+    mesh: Mesh,
+    config: LMConfig = LMConfig(),
+    state_group: str = "state",
+    lm_group: Optional[str] = "landmark",
+    axis_name: str = "time",
+):
+    """LM with the TRAJECTORY sharded over the mesh (P4): per iteration, one
+    ppermute halo exchange of the neighbor boundary state, local
+    linearization/assembly of the chunk's factors, a boundary-contribution
+    ppermute, and the distributed SPIKE+Schur solve. Landmarks replicated.
+
+    Requires n_states %% n_dev == 0 and chunk length >= 4. Chain-structured
+    graphs only (same contract as ops/chain.py).
+    """
+    from ..ops import chain as chain_ops
+    from ..solve.lm import _lm_loop
+
+    n_dev = mesh.devices.size
+    N = jax.tree_util.tree_leaves(values0[state_group])[0].shape[0]
+    if N % n_dev:
+        raise ValueError(f"n_states {N} not divisible by {n_dev} devices")
+    m = N // n_dev
+    if m < 4:
+        raise ValueError(f"chunk length {m} < 4")
+    if lm_group is not None and lm_group not in graph.manifolds:
+        lm_group = None
+    chain_ops.build_role_table(graph, state_group, lm_group)  # structure check
+    gp = partition_chain_graph(graph, n_dev, m, state_group, lm_group)
+    roles = None  # recomputed below on the partitioned graph (local indices
+    # keep j = i + 1, so the role table is structurally identical)
+    roles = chain_ops.build_role_table(gp, state_group, lm_group)
+    man = graph.manifolds[state_group]
+    b_dim = man.dim
+    dtype = jax.tree_util.tree_leaves(values0)[0].dtype
+
+    graph_specs = jax.tree_util.tree_map(lambda _: P(axis_name), gp)
+    values_specs = {
+        g: jax.tree_util.tree_map(
+            lambda _: P(axis_name) if g == state_group else P(), v
+        )
+        for g, v in values0.items()
+    }
+    from .solve import _stats_struct
+
+    out_specs = (values_specs, jax.tree_util.tree_map(
+        lambda _: P(), _stats_struct(config, dtype)))
+
+    def _halo(values_loc):
+        """Append the right neighbor's first state as local slot m."""
+        state = values_loc[state_group]
+        perm = [((c + 1) % n_dev, c) for c in range(n_dev)]
+        halo = jax.tree_util.tree_map(
+            lambda a: jax.lax.ppermute(a[:1], axis_name, perm), state
+        )
+        ext = jax.tree_util.tree_map(
+            lambda a, h: jnp.concatenate([a, h], 0), state, halo
+        )
+        return dict(values_loc, **{state_group: ext})
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(graph_specs, values_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def run(graph_loc: Graph, values_loc):
+        L = (jax.tree_util.tree_leaves(values_loc[lm_group])[0].shape[0]
+             if lm_group else 0)
+
+        def error_fn(vals):
+            ext = _halo(vals)
+            total = jnp.zeros((), dtype)
+            for bt in graph_loc.batches:
+                r = graphlib.batch_residuals(bt, ext)
+                total = total + 0.5 * jnp.sum(r * r)
+            return jax.lax.psum(total, axis_name)
+
+        def step_fn(vals, lam):
+            ext = _halo(vals)
+            lins = graphlib.linearize(graph_loc, ext)
+            D, U, g_s, H_sl, H_ll, g_l = chain_ops.assemble_chain(
+                graph_loc, lins, ext, roles, state_group, lm_group
+            )
+            # D/U/g/H_sl have m+1 rows; row m belongs to the right
+            # neighbor's first state -> ppermute it back and add
+            perm_back = [(c, (c + 1) % n_dev) for c in range(n_dev)]
+
+            def send_back(a):
+                recv = jax.lax.ppermute(a[m:m + 1], axis_name, perm_back)
+                return a[:m].at[0].add(recv[0])
+
+            D = send_back(D)
+            g_s = send_back(g_s)
+            # U[m-1] couples to the halo (the SPIKE cross-chunk coupling);
+            # U[m] would couple halo->halo+1 and is structurally zero.
+            U = U[:m]
+            # zero the wrap-around coupling on the last device
+            c_id = jax.lax.axis_index(axis_name)
+            U = U.at[m - 1].multiply(
+                jnp.where(c_id == n_dev - 1, 0.0, 1.0).astype(dtype)
+            )
+            lam = jnp.asarray(lam, dtype)
+            if lm_group is None:
+                D_damped = D + lam * jnp.eye(b_dim, dtype=dtype)
+                ds = -spike_solve(D_damped, U, g_s[..., None], axis_name)[..., 0]
+                return {state_group: ds}
+            H_sl = send_back(H_sl)
+            H_ll, g_l = jax.lax.psum((H_ll, g_l), axis_name)
+            ds, dl = spike_schur_arrowhead_solve(
+                D, U, g_s, H_sl, H_ll, g_l, lam, axis_name
+            )
+            return {
+                state_group: ds,
+                lm_group: dl.reshape(L, graph_loc.manifolds[lm_group].dim),
+            }
+
+        def retract_fn(vals, delta):
+            out = {}
+            for g, v in vals.items():
+                out[g] = jax.vmap(graph_loc.manifolds[g].retract)(v, delta[g])
+            return out
+
+        return _lm_loop(values_loc, error_fn, step_fn, retract_fn, config,
+                        dtype)
+
+    return jax.jit(run)(gp, values0)
