@@ -29,7 +29,16 @@ def main():
     data = synthetic.make_se3_pose_graph(n_states=n, seed=0,
                                          loop_closure_every=50)
     graph, values = pose3_slam.build(data, dtype=jnp.float32, prior="wnoj")
-    solve = jax.jit(lambda g, v: lm_solve(g, v, LMConfig(max_iterations=60)))
+    # loop closures break the chain structure; the supernodal sparse
+    # Cholesky (min-degree ordering + level-batched factorization) handles
+    # this exactly without a dense Hessian
+    from gpslam_tpu.ops.supernodal import SupernodalSolver
+
+    sn = SupernodalSolver(graph, values)
+    solve = jax.jit(
+        lambda g, v: lm_solve(g, v, LMConfig(max_iterations=60),
+                              solver=sn.solver)
+    )
     vals, stats = solve(graph, values)
     jax.block_until_ready(stats.error)
     t0 = time.perf_counter()
