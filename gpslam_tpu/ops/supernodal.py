@@ -16,10 +16,11 @@ left-looking block factorization driven by STATIC schedules:
   / #3 of SURVEY.md §3.1). Assembly scatters per-factor J^T J blocks
   straight into the block storage with precomputed destination ids.
 
-Current scope: graphs with ONE variable group (uniform block size) — the
-loop-closure pose-graph workloads; heterogeneous blocks go through the
-chain+Schur, PCG, or dense backends. Mixed-size support lands with block
-padding in a later round.
+Mixed block sizes (e.g. poses + landmarks) are handled by PADDING every
+variable's tangent block to the largest group dimension: padded diagonal
+entries get an identity (so blocks stay SPD), padded gradient entries are
+zero, and the padded delta components solve to exactly zero — the static
+shapes stay uniform, which is what the batched level kernels need.
 """
 
 from __future__ import annotations
@@ -39,17 +40,26 @@ class SupernodalSolver:
     """Build once per graph structure; `solver` property plugs into lm_solve."""
 
     def __init__(self, graph: Graph, values):
-        groups = list(values.keys())
-        if len(groups) != 1:
-            raise ValueError(
-                "supernodal backend currently supports one variable group; "
-                f"got {groups} (use chain/PCG/dense backends)"
-            )
-        self.group = groups[0]
-        man = graph.manifolds[self.group]
-        self.b = man.dim
-        n = jax.tree_util.tree_leaves(values[self.group])[0].shape[0]
+        self.groups = list(values.keys())
+        dims = {g: graph.manifolds[g].dim for g in self.groups}
+        self.b = max(dims.values())
+        self.group_sizes = {
+            g: jax.tree_util.tree_leaves(values[g])[0].shape[0]
+            for g in self.groups
+        }
+        self.group_offset = {}
+        off = 0
+        for g in self.groups:
+            self.group_offset[g] = off
+            off += self.group_sizes[g]
+        n = off
         self.n = n
+        # per-variable tangent dim (global variable numbering)
+        var_dim = np.zeros(n, np.int64)
+        for g in self.groups:
+            var_dim[self.group_offset[g] : self.group_offset[g]
+                    + self.group_sizes[g]] = dims[g]
+        self.var_dim = var_dim
 
         indptr, indices, _ = order_mod.adjacency_from_graph(graph, values)
         perm = order_mod.min_degree_ordering(indptr, indices)
@@ -142,7 +152,10 @@ class SupernodalSolver:
         # whether the contribution must be transposed (stored lower)
         self.assembly = []
         for batch in graph.batches:
-            idx = [np.asarray(ix) for ix in batch.idx]
+            idx = [
+                np.asarray(ix) + self.group_offset[batch.groups[si]]
+                for si, ix in enumerate(batch.idx)
+            ]
             per_pair = []
             for s in range(len(batch.groups)):
                 for t in range(len(batch.groups)):
@@ -166,25 +179,46 @@ class SupernodalSolver:
                                      jnp.asarray(transpose), keep))
             self.assembly.append(per_pair)
 
+        # identity on PADDED diagonal dims (variable dim < b), by position
+        pad_eye = np.zeros((n, self.b, self.b))
+        for v in range(n):
+            d = int(var_dim[v])
+            for q in range(d, self.b):
+                pad_eye[int(pos[v]), q, q] = 1.0
+        self._pad_eye = pad_eye
+        # per-slot gather positions are precomputed in assembly loop below
+
     # ------------------------------------------------------------ numeric
     def assemble(self, graph, lins, values, lam):
         dtype = jax.tree_util.tree_leaves(values)[0].dtype
         b = self.b
         blocks = jnp.zeros((self.n_blocks, b, b), dtype)
         g = jnp.zeros((self.n, b), dtype)
+
+        def pad_last(J):
+            d = J.shape[-1]
+            if d == b:
+                return J
+            return jnp.pad(J, ((0, 0), (0, 0), (0, b - d)))
+
         for batch, lin, pairs in zip(graph.batches, lins, self.assembly):
             for s in range(len(batch.groups)):
-                contrib = jnp.einsum("mri,mr->mi", lin.J[s], lin.r)
-                ps = jnp.asarray(self.pos)[batch.idx[s]]
+                Js = pad_last(lin.J[s])
+                contrib = jnp.einsum("mri,mr->mi", Js, lin.r)
+                ps = jnp.asarray(self.pos)[
+                    batch.idx[s] + self.group_offset[batch.groups[s]]
+                ]
                 g = g.at[ps].add(contrib)
             for s, t, dst, transpose, _keep in pairs:
-                blk = jnp.einsum("mri,mrj->mij", lin.J[s], lin.J[t])
+                blk = jnp.einsum(
+                    "mri,mrj->mij", pad_last(lin.J[s]), pad_last(lin.J[t])
+                )
                 blk = jnp.where(transpose[:, None, None],
                                 jnp.swapaxes(blk, -1, -2), blk)
                 blocks = blocks.at[dst].add(blk)
-        # damping on the diagonal
+        # damping + identity on padded dims (keeps every diag block SPD)
         blocks = blocks.at[jnp.arange(self.n)].add(
-            lam * jnp.eye(b, dtype=dtype)
+            lam * jnp.eye(b, dtype=dtype) + jnp.asarray(self._pad_eye, dtype)
         )
         return blocks, g
 
@@ -250,7 +284,14 @@ class SupernodalSolver:
         def _solve(graph, values, lins, lam):
             blocks, g = self.assemble(graph, lins, values, lam)
             L = self.factorize(blocks)
-            x = self.solve_factored(L, -g)
-            return {self.group: x[pos]}
+            x = self.solve_factored(L, -g)  # (n, b) in elimination positions
+            x_var = x[pos]  # by global variable id
+            out = {}
+            for grp in self.groups:
+                o = self.group_offset[grp]
+                nn = self.group_sizes[grp]
+                d = graph.manifolds[grp].dim
+                out[grp] = x_var[o : o + nn, :d]
+            return out
 
         return _solve

@@ -319,6 +319,16 @@ class FixedLagSmoother:
             step_count=jnp.zeros((), jnp.int32),
         )
 
+    # -------------------------------------------------------- marginals
+    def marginals(self, s: SmootherState):
+        """Tangent-space marginal covariances of the current window states
+        and landmarks (the iSAM2 covariance-query capability, computed via
+        the chain selected-inverse). Host-callable (not jitted)."""
+        from . import marginals as marg
+
+        graph = self._graph(s)
+        return marg.chain_marginals(graph, self._values(s))
+
     # ----------------------------------------------------------- settle
     def settle(self, s: SmootherState, iters: int = 10) -> SmootherState:
         """Re-solve the current window without sliding (cold-start or after

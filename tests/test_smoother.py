@@ -125,3 +125,23 @@ def test_smoother_step_is_constant_shape(scenario):
     sh1 = jax.tree_util.tree_map(lambda a: a.shape, s1)
     sh2 = jax.tree_util.tree_map(lambda a: a.shape, s2)
     assert sh1 == sh2
+
+
+def test_smoother_marginals(scenario):
+    data, _ = scenario
+    cfg = SmootherConfig(window=20, dt=float(data["dt"]), qc=float(data["qc"]),
+                         odom_sigma=float(data["odom_sigma"]),
+                         range_sigma=float(data["range_sigma"]))
+    L = data["landmarks_gt"].shape[0]
+    sm = FixedLagSmoother(cfg, n_landmarks=L)
+    s = sm.init(data["init_pos"][:20], data["init_vel"][:20],
+                data["init_landmarks"], odom_z=data["odom_z"][:19])
+    s = sm.settle(s, iters=10)
+    cov = sm.marginals(s)
+    S = np.asarray(cov["state"])
+    assert S.shape == (20, 4, 4)
+    eig = np.linalg.eigvalsh(S)
+    assert np.all(eig > 0)
+    # the anchored (oldest) state is most certain
+    tr = np.trace(S, axis1=-2, axis2=-1)
+    assert np.argmin(tr) == 0

@@ -42,10 +42,30 @@ def test_full_lm_matches_dense(lc_problem):
     assert float(st_sn.error) == pytest.approx(float(st_dn.error), rel=1e-8)
 
 
-def test_rejects_multi_group():
-    data = synthetic.make_linear2d_range_slam(n_states=10, seed=1)
+def test_mixed_block_sizes_match_dense():
+    """Multi-group (state dim 4 + landmark dim 2) via block padding."""
+    data = synthetic.make_linear2d_range_slam(n_states=20, seed=1)
     from gpslam_tpu.models import linear2d
 
     graph, values = linear2d.build(data, dtype=jnp.float64)
-    with pytest.raises(ValueError, match="one variable group"):
-        SupernodalSolver(graph, values)
+    sn = SupernodalSolver(graph, values)
+    lins = graphlib.linearize(graph, values)
+    lam = jnp.asarray(0.01, jnp.float64)
+    d_sn = sn.solver(graph, values, lins, lam)
+    d_dn = make_dense_solver(False)(graph, values, lins, lam)
+    for k in d_dn:
+        np.testing.assert_allclose(
+            np.asarray(d_sn[k]), np.asarray(d_dn[k]), atol=1e-8, err_msg=k
+        )
+
+
+def test_mixed_block_full_lm_matches_dense():
+    data = synthetic.make_linear2d_range_slam(n_states=25, seed=3)
+    from gpslam_tpu.models import linear2d
+
+    graph, values = linear2d.build(data, dtype=jnp.float64)
+    sn = SupernodalSolver(graph, values)
+    _, st_sn = lm_solve(graph, values, LMConfig(), solver=sn.solver)
+    _, st_dn = lm_solve(graph, values, LMConfig(),
+                        solver=make_dense_solver(False))
+    assert float(st_sn.error) == pytest.approx(float(st_dn.error), rel=1e-8)
