@@ -105,3 +105,25 @@ def test_error_history_monotone(linear_problem):
     hist = hist[np.isfinite(hist)]
     assert len(hist) >= 1
     assert np.all(np.diff(hist) <= 1e-9), "accepted-error history must not increase"
+
+
+def test_auto_solver_selection():
+    from gpslam_tpu.solve import auto_solver
+
+    # chain-structured -> chain backend, matches explicit chain solve
+    data = synthetic.make_linear2d_range_slam(n_states=30, seed=3)
+    graph, values = linear2d.build(data, dtype=jnp.float64)
+    sol = auto_solver(graph, values)
+    _, st_a = lm_solve(graph, values, LMConfig(), solver=sol)
+    from gpslam_tpu.ops import chain
+
+    _, st_c = lm_solve(graph, values, LMConfig(),
+                       solver=chain.make_chain_solver(graph))
+    assert float(st_a.error) == pytest.approx(float(st_c.error), rel=1e-10)
+
+    # loop closures -> non-chain backend still solves
+    d2 = synthetic.make_se2_pose_graph(n_states=50, seed=4)
+    g2, v2 = pose2_slam.build(d2, dtype=jnp.float64)
+    sol2 = auto_solver(g2, v2, lm_group=None)
+    _, st2 = lm_solve(g2, v2, LMConfig(), solver=sol2)
+    assert bool(st2.converged)
