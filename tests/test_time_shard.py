@@ -39,6 +39,10 @@ def test_spike_matches_bcr(n_dev, b):
     D, U, r = random_chain(n, b, k=3)
     mesh = make_mesh(n_dev, axis_name="time")
 
+    # NOTE: always jit the shard_map — eager shard_map dispatches each of
+    # the hundreds of unrolled ops through the SPMD interpreter (minutes);
+    # jitted it compiles in seconds.
+    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("time"), P("time"), P("time")),
@@ -67,6 +71,7 @@ def test_spike_schur_matches_single_device():
 
     mesh = make_mesh(n_dev, axis_name="time")
 
+    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("time"), P("time"), P("time"), P("time"), P(), P(), P()),
