@@ -34,9 +34,8 @@ def prior_vector(value, params):
 
 
 def prior_linear_state(state, params):
-    """Prior on a full (x, v) chain node: r = A ([x;v] - mu), rdim 2d."""
-    x, v = state
-    return params["sqrt_info"] @ (jnp.concatenate([x, v], -1) - params["mu"])
+    """Prior on a full (x, v[, a]) chain node: r = A (concat(parts) - mu)."""
+    return params["sqrt_info"] @ (jnp.concatenate(state, -1) - params["mu"])
 
 
 def prior_se2(state, params):
@@ -76,8 +75,9 @@ def prior_se3_state(state, params):
 
 
 def between_linear(state_i, state_j, params):
-    """Relative-position odometry on vector states: r = A (x_j - x_i - z)."""
-    (xi, _vi), (xj, _vj) = state_i, state_j
+    """Relative-position odometry on vector states (WNOA or WNOJ nodes):
+    r = A (x_j - x_i - z)."""
+    xi, xj = state_i[0], state_j[0]
     return params["sqrt_info"] @ (xj - xi - params["z"])
 
 
@@ -103,7 +103,7 @@ def between_se3(state_i, state_j, params):
 
 def range_linear(state, landmark, params):
     """Range from a vector-state position to a landmark: r = (|x-l| - z)/s."""
-    x, _v = state
+    x = state[0]
     r = (_safe_norm(x - landmark) - params["z"]) * params["inv_sigma"]
     return r[..., None]
 

@@ -25,16 +25,22 @@ from ..graph import GraphBuilder, manifolds
 
 
 def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
-          state0_prior_sigma: float = 0.01):
+          state0_prior_sigma: float = 0.01, prior: str = "wnoa"):
     """data: dict from io.synthetic.make_linear2d_range_slam (or a real
-    dataset loader with the same keys). Returns (graph, initial_values)."""
+    dataset loader with the same keys). prior: 'wnoa' | 'wnoj' (constant
+    velocity vs constant acceleration). Returns (graph, initial_values)."""
     n = data["init_pos"].shape[0]
     n_lm = data["init_landmarks"].shape[0]
     dt = float(data["dt"])
     qc = float(data["qc"])
+    wnoj = prior == "wnoj"
+    sdim = 6 if wnoj else 4
 
     b = GraphBuilder()
-    b.add_group("state", manifolds.linear_state(2))
+    b.add_group(
+        "state",
+        manifolds.linear_wnoj_state(2) if wnoj else manifolds.linear_state(2),
+    )
     b.add_group("landmark", manifolds.Vector(2))
 
     # prior on state 0 (anchor at the surveyed start if provided)
@@ -42,6 +48,8 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
         mu0 = np.concatenate([data["anchor_pos"], data["anchor_vel"]])
     else:
         mu0 = np.concatenate([data["init_pos"][0], data["init_vel"][0]])
+    if wnoj:
+        mu0 = np.concatenate([mu0, np.zeros(2)])
     b.add_factors(
         "prior",
         measurements.prior_linear_state,
@@ -50,18 +58,18 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
         {
             "mu": jnp.asarray(mu0[None], dtype),
             "sqrt_info": jnp.asarray(
-                (np.eye(4) / state0_prior_sigma)[None], dtype
+                (np.eye(sdim) / state0_prior_sigma)[None], dtype
             ),
         },
-        rdim=4,
-        linearizer=linearizers.prior_linear_state,
+        rdim=sdim,
+        linearizer=None if wnoj else linearizers.prior_linear_state,
     )
 
-    # GP WNOA chain
+    # GP chain (WNOA or WNOJ)
     qc_sqrt_info = np.eye(2) / math.sqrt(qc)
     b.add_factors(
         "gp_prior",
-        gp_priors.gp_prior_linear,
+        gp_priors.gp_prior_linear_wnoj if wnoj else gp_priors.gp_prior_linear,
         ("state", "state"),
         (np.arange(n - 1), np.arange(1, n)),
         {
@@ -70,8 +78,8 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
                 np.broadcast_to(qc_sqrt_info, (n - 1, 2, 2)), dtype
             ),
         },
-        rdim=4,
-        linearizer=linearizers.gp_prior_linear,
+        rdim=sdim,
+        linearizer=None if wnoj else linearizers.gp_prior_linear,
     )
 
     # odometry between factors
@@ -88,7 +96,7 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
             ),
         },
         rdim=2,
-        linearizer=linearizers.between_linear,
+        linearizer=None if wnoj else linearizers.between_linear,
     )
 
     # interpolated range factors
@@ -96,7 +104,8 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
     if m:
         b.add_factors(
             "interp_range",
-            measurements.interp_range_linear,
+            measurements.interp_range_linear_wnoj if wnoj
+            else measurements.interp_range_linear,
             ("state", "state", "landmark"),
             (data["range_i"], data["range_i"] + 1, data["range_lm"]),
             {
@@ -106,7 +115,7 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
                 "inv_sigma": jnp.full((m,), 1.0 / float(data["range_sigma"]), dtype),
             },
             rdim=1,
-            linearizer=linearizers.interp_range_linear,
+            linearizer=None if wnoj else linearizers.interp_range_linear,
         )
 
     # weak landmark priors
@@ -125,11 +134,14 @@ def build(data, dtype=jnp.float32, lm_prior_sigma: float = 100.0,
         linearizer=linearizers.prior_vector,
     )
 
+    state = (
+        jnp.asarray(data["init_pos"], dtype),
+        jnp.asarray(data["init_vel"], dtype),
+    )
+    if wnoj:
+        state = state + (jnp.zeros((n, 2), dtype),)
     values = {
-        "state": (
-            jnp.asarray(data["init_pos"], dtype),
-            jnp.asarray(data["init_vel"], dtype),
-        ),
+        "state": state,
         "landmark": jnp.asarray(data["init_landmarks"], dtype),
     }
     return b.build(), values

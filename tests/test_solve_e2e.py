@@ -127,3 +127,19 @@ def test_auto_solver_selection():
     sol2 = auto_solver(g2, v2, lm_group=None)
     _, st2 = lm_solve(g2, v2, LMConfig(), solver=sol2)
     assert bool(st2.converged)
+
+
+def test_linear_wnoj_model(linear_problem):
+    """Config-2 structure with the WNOJ (constant-acceleration) prior."""
+    graph, values = linear2d.build(linear_problem, dtype=jnp.float64,
+                                   prior="wnoj")
+    vals, stats = lm_solve(graph, values, LMConfig())
+    assert bool(stats.converged)
+    _, info = reference_solver.solve_reference(graph, values)
+    assert float(stats.error) == pytest.approx(info["chi2"], rel=1e-6)
+    # chain backend handles the 6-dim WNOJ nodes too
+    from gpslam_tpu.ops import chain
+
+    solver = chain.make_chain_solver(graph)
+    _, st_c = lm_solve(graph, values, LMConfig(), solver=solver)
+    assert float(st_c.error) == pytest.approx(float(stats.error), rel=1e-8)
