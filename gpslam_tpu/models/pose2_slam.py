@@ -60,6 +60,9 @@ def build(data, dtype=jnp.float32, state0_prior_sigma: float = 0.01):
     odom_sqrt_info = np.diag(
         [1.0 / float(data["odom_sigma_xy"])] * 2 + [1.0 / float(data["odom_sigma_th"])]
     )
+    odom_A = data.get("odom_sqrt_info")
+    if odom_A is None:
+        odom_A = np.broadcast_to(odom_sqrt_info, (n - 1, 3, 3))
     b.add_factors(
         "odometry",
         measurements.between_se2,
@@ -67,15 +70,16 @@ def build(data, dtype=jnp.float32, state0_prior_sigma: float = 0.01):
         (np.arange(n - 1), np.arange(1, n)),
         {
             "z": jnp.asarray(data["odom_z"], dtype),
-            "sqrt_info": jnp.asarray(
-                np.broadcast_to(odom_sqrt_info, (n - 1, 3, 3)), dtype
-            ),
+            "sqrt_info": jnp.asarray(odom_A, dtype),
         },
         rdim=3,
     )
 
     if data["lc_i"].shape[0]:
         m = data["lc_i"].shape[0]
+        lc_A = data.get("lc_sqrt_info")
+        if lc_A is None:
+            lc_A = np.broadcast_to(odom_sqrt_info, (m, 3, 3))
         b.add_factors(
             "loop_closure",
             measurements.between_se2,
@@ -83,9 +87,7 @@ def build(data, dtype=jnp.float32, state0_prior_sigma: float = 0.01):
             (data["lc_i"], data["lc_j"]),
             {
                 "z": jnp.asarray(data["lc_z"], dtype),
-                "sqrt_info": jnp.asarray(
-                    np.broadcast_to(odom_sqrt_info, (m, 3, 3)), dtype
-                ),
+                "sqrt_info": jnp.asarray(lc_A, dtype),
             },
             rdim=3,
         )
@@ -103,27 +105,31 @@ def data_from_g2o(loaded, dt: float = 1.0, qc: float = 0.5):
     """Adapt io.formats.load_g2o_se2/load_toro_se2 output to the build()
     data dict: consecutive-index edges become odometry, the rest loop
     closures; body velocities initialized from odometry increments / dt.
-
-    Note: per-edge information matrices are collapsed to the mean sigmas
-    (the builders broadcast one noise model per batch); heterogeneous-noise
-    support would pass edges_sqrt_info through directly.
+    Per-edge sqrt-information matrices are passed through (heterogeneous
+    noise preserved); the scalar odom_sigma_* fields carry fallback means
+    for builders without per-edge support.
     """
     init = loaded["init_pose"]
     n = init.shape[0]
     ei, ej, ez = loaded["edges_i"], loaded["edges_j"], loaded["edges_z"]
+    A = loaded["edges_sqrt_info"]
     odom = np.zeros((n - 1, 3))
+    odom_info = np.zeros((n - 1, 3, 3))
     seen = np.zeros(n - 1, bool)
-    lc_i, lc_j, lc_z = [], [], []
+    lc_i, lc_j, lc_z, lc_info = [], [], [], []
     for k in range(ei.shape[0]):
         if ej[k] == ei[k] + 1 and not seen[ei[k]]:
             odom[ei[k]] = ez[k]
+            odom_info[ei[k]] = A[k]
             seen[ei[k]] = True
         else:
             lc_i.append(ei[k])
             lc_j.append(ej[k])
             lc_z.append(ez[k])
-    # derive noise scales from the sqrt-info (mean over edges)
-    A = loaded["edges_sqrt_info"]
+            lc_info.append(A[k])
+    # unobserved intervals get the mean information (keeps chain connected)
+    mean_info = A.mean(0)
+    odom_info[~seen] = mean_info
     sig = 1.0 / np.clip(np.mean(A[:, [0, 1, 2], [0, 1, 2]], axis=0), 1e-6, None)
     vel = np.zeros((n, 3))
     vel[:-1] = odom / dt
@@ -133,12 +139,14 @@ def data_from_g2o(loaded, dt: float = 1.0, qc: float = 0.5):
         "qc": qc,
         "odom_sigma_xy": float(0.5 * (sig[0] + sig[1])),
         "odom_sigma_th": float(sig[2]),
+        "odom_sqrt_info": odom_info,
         "gt_pose": init,
         "gt_vel": vel,
         "odom_z": odom,
         "lc_i": np.asarray(lc_i, np.int64),
         "lc_j": np.asarray(lc_j, np.int64),
         "lc_z": np.asarray(lc_z).reshape(-1, 3),
+        "lc_sqrt_info": np.asarray(lc_info).reshape(-1, 3, 3),
         "init_pose": init,
         "init_vel": vel,
     }

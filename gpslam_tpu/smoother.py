@@ -45,6 +45,10 @@ from .ops import smallblock as sb
 from .solve.lm import _lm_loop
 
 
+def _tmap(f, *ts):
+    return jax.tree_util.tree_map(f, *ts)
+
+
 def _make_anchor_residual(state_manifold):
     """Joint Gaussian anchor on (head state, all landmarks):
     r = A [local(mu_state, state); l_0 - mu_l0; ...] + c.
@@ -124,8 +128,20 @@ class FixedLagSmoother:
             self._qc_dim = 3
             self._odom_dim = 3
             self._predict = lambda p, v, dt: se2_lie.retract(p, dt * v)
+        elif model == "se3":
+            from .lie import se3 as se3_lie
+
+            self.d = 3
+            state_man = manifolds.se3_state()
+            self._gp_residual = gp_priors.gp_prior_se3
+            self._odom_residual = measurements.between_se3
+            self._range_residual = measurements.interp_range_se3
+            self._qc_dim = 6
+            self._odom_dim = 6
+            self._predict = lambda p, v, dt: se3_lie.retract(*p, dt * v)
         else:
             raise ValueError(f"unknown smoother model {model!r}")
+        self._pose_is_tuple = model == "se3"
         self.b = state_man.dim
         self.P = n_landmarks * self.d
         self.C = config.ranges_per_step * config.window
@@ -160,7 +176,7 @@ class FixedLagSmoother:
                 params={
                     "sqrt_info": s.anchor_sqrt_info[None],
                     "offset": s.anchor_offset[None],
-                    "mu_x": s.anchor_mu_x[None],
+                    "mu_x": _tmap(lambda a: a[None], s.anchor_mu_x),
                     "mu_v": s.anchor_mu_v[None],
                     "mu_l": tuple(s.anchor_mu_l[i][None] for i in range(L)),
                 },
@@ -190,7 +206,12 @@ class FixedLagSmoother:
             )
         )
         od = self._odom_dim
-        if self.model == "se2":
+        if self.model == "se3":
+            sig_th = cfg.odom_sigma_th or cfg.odom_sigma
+            odom_sqrt = jnp.diag(jnp.asarray(
+                [1.0 / sig_th] * 3 + [1.0 / cfg.odom_sigma] * 3, self.dtype,
+            ))
+        elif self.model == "se2":
             sig_th = cfg.odom_sigma_th or cfg.odom_sigma
             odom_sqrt = jnp.diag(jnp.asarray(
                 [1.0 / cfg.odom_sigma, 1.0 / cfg.odom_sigma, 1.0 / sig_th],
@@ -200,15 +221,21 @@ class FixedLagSmoother:
             odom_sqrt = jnp.eye(od, dtype=self.dtype) / jnp.asarray(
                 cfg.odom_sigma, self.dtype
             )
+        if self.model == "se3":
+            odom_params = {
+                "z_R": s.odom_z[0][:n_chain],
+                "z_t": s.odom_z[1][:n_chain],
+                "sqrt_info": jnp.broadcast_to(odom_sqrt, (n_chain, od, od)),
+            }
+        else:
+            odom_params = {
+                "z": s.odom_z[:n_chain],
+                "sqrt_info": jnp.broadcast_to(odom_sqrt, (n_chain, od, od)),
+            }
         batches.append(
             FactorBatch(
                 idx=(ar, ar + 1),
-                params={
-                    "z": s.odom_z[:n_chain],
-                    "sqrt_info": jnp.broadcast_to(
-                        odom_sqrt, (n_chain, od, od)
-                    ),
-                },
+                params=odom_params,
                 name="odometry",
                 residual=self._odom_residual,
                 groups=("state", "state"),
@@ -271,10 +298,16 @@ class FixedLagSmoother:
         )
 
         if odom_z is None:
-            oz = np.zeros((W - 1, self._odom_dim))
+            if self.model == "se3":
+                oz = (np.broadcast_to(np.eye(3), (W - 1, 3, 3)).copy(),
+                      np.zeros((W - 1, 3)))
+            else:
+                oz = np.zeros((W - 1, self._odom_dim))
             om = np.zeros((W - 1,))
         else:
-            oz = np.asarray(odom_z, np.float64)
+            oz = jax.tree_util.tree_map(
+                lambda a: np.asarray(a, np.float64), odom_z
+            )
             om = np.ones((W - 1,))
 
         r_iv = np.full((C,), -1, np.int64)
@@ -300,16 +333,17 @@ class FixedLagSmoother:
                 r_z[p] = float(ranges["z"][k])
                 r_m[p] = 1.0
 
+        x_tree = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dt), x0)
         return SmootherState(
-            x=jnp.asarray(x0, dt),
+            x=x_tree,
             v=jnp.asarray(v0, dt),
             landmarks=jnp.asarray(landmarks0, dt),
             anchor_sqrt_info=jnp.asarray(info, dt),
             anchor_offset=jnp.zeros((bP,), dt),
-            anchor_mu_x=jnp.asarray(x0[0], dt),
+            anchor_mu_x=jax.tree_util.tree_map(lambda a: a[0], x_tree),
             anchor_mu_v=jnp.asarray(v0[0], dt),
             anchor_mu_l=jnp.asarray(landmarks0, dt),
-            odom_z=jnp.asarray(oz, dt),
+            odom_z=jax.tree_util.tree_map(lambda a: jnp.asarray(a, dt), oz),
             odom_mask=jnp.asarray(om, dt),
             rng_interval=jnp.asarray(r_iv, jnp.int32),
             rng_lm=jnp.asarray(r_lm, jnp.int32),
@@ -384,7 +418,9 @@ class FixedLagSmoother:
         """
         return self._step(
             s,
-            jnp.asarray(odom_z, self.dtype),
+            jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, self.dtype), odom_z
+            ),
             jnp.asarray(rng_tau, self.dtype),
             jnp.asarray(rng_z, self.dtype),
             jnp.asarray(rng_lm, jnp.int32),
@@ -425,11 +461,15 @@ class FixedLagSmoother:
         offset = jax.scipy.linalg.solve_triangular(Lc, gnew, lower=True)
 
         # ---- 2. roll the window
-        x = jnp.concatenate(
-            [s.x[1:], self._predict(s.x[-1], s.v[-1], cfg.dt)[None]], 0
+        x_last = _tmap(lambda a: a[-1], s.x)
+        x_pred = self._predict(x_last, s.v[-1], cfg.dt)
+        x = _tmap(
+            lambda a, p: jnp.concatenate([a[1:], p[None]], 0), s.x, x_pred
         )
         v = jnp.concatenate([s.v[1:], s.v[-1][None]], 0)
-        odom_z_new = jnp.concatenate([s.odom_z[1:], odom_z[None]], 0)
+        odom_z_new = _tmap(
+            lambda a, z: jnp.concatenate([a[1:], z[None]], 0), s.odom_z, odom_z
+        )
         odom_mask = jnp.concatenate(
             [s.odom_mask[1:], jnp.ones((1,), dt)], 0
         )
@@ -448,7 +488,7 @@ class FixedLagSmoother:
             x=x, v=v,
             anchor_sqrt_info=sqrt_info,
             anchor_offset=offset,
-            anchor_mu_x=s.x[1],
+            anchor_mu_x=_tmap(lambda a: a[1], s.x),
             anchor_mu_v=s.v[1],
             anchor_mu_l=s.landmarks,
             odom_z=odom_z_new, odom_mask=odom_mask,
@@ -461,7 +501,7 @@ class FixedLagSmoother:
         s3, stats = self._solve_window(s2, cfg.iters_per_step)
         out = {
             "x": s3.x, "v": s3.v, "landmarks": s3.landmarks,
-            "head_x": s3.x[-1], "head_v": s3.v[-1],
+            "head_x": _tmap(lambda a: a[-1], s3.x), "head_v": s3.v[-1],
             "chi2": stats.error,
         }
         return s3, out
