@@ -189,11 +189,17 @@ class SupernodalSolver:
         # per-slot gather positions are precomputed in assembly loop below
 
     # ------------------------------------------------------------ numeric
-    def assemble(self, graph, lins, values, lam):
+    def assemble_raw(self, graph, lins, values, assembly=None):
+        """Scatter per-factor J^T J / J^T r into block storage — NO damping.
+
+        `assembly` overrides the destination tables (used by the sharded
+        solver, which passes per-device slices of the same tables)."""
         dtype = jax.tree_util.tree_leaves(values)[0].dtype
         b = self.b
         blocks = jnp.zeros((self.n_blocks, b, b), dtype)
         g = jnp.zeros((self.n, b), dtype)
+        if assembly is None:
+            assembly = self.assembly
 
         def pad_last(J):
             d = J.shape[-1]
@@ -201,7 +207,7 @@ class SupernodalSolver:
                 return J
             return jnp.pad(J, ((0, 0), (0, 0), (0, b - d)))
 
-        for batch, lin, pairs in zip(graph.batches, lins, self.assembly):
+        for batch, lin, pairs in zip(graph.batches, lins, assembly):
             for s in range(len(batch.groups)):
                 Js = pad_last(lin.J[s])
                 contrib = jnp.einsum("mri,mr->mi", Js, lin.r)
@@ -216,11 +222,19 @@ class SupernodalSolver:
                 blk = jnp.where(transpose[:, None, None],
                                 jnp.swapaxes(blk, -1, -2), blk)
                 blocks = blocks.at[dst].add(blk)
-        # damping + identity on padded dims (keeps every diag block SPD)
-        blocks = blocks.at[jnp.arange(self.n)].add(
-            lam * jnp.eye(b, dtype=dtype) + jnp.asarray(self._pad_eye, dtype)
-        )
         return blocks, g
+
+    def add_damping(self, blocks, lam):
+        """LM damping + identity on padded dims (keeps diag blocks SPD)."""
+        dtype = blocks.dtype
+        return blocks.at[jnp.arange(self.n)].add(
+            lam * jnp.eye(self.b, dtype=dtype)
+            + jnp.asarray(self._pad_eye, dtype)
+        )
+
+    def assemble(self, graph, lins, values, lam):
+        blocks, g = self.assemble_raw(graph, lins, values)
+        return self.add_damping(blocks, lam), g
 
     def factorize(self, blocks):
         """In-place left-looking level-batched factorization: A -> L."""

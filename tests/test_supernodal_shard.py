@@ -1,0 +1,94 @@
+"""Supernode-sharded Cholesky over the 8-device CPU mesh (SURVEY.md §2.4 P2):
+parity of the sharded factorization + full sharded LM vs the single-device
+supernodal solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpslam_tpu.config import LMConfig
+from gpslam_tpu.graph import graph as graphlib
+from gpslam_tpu.io import synthetic
+from gpslam_tpu.models import pose2_slam
+from gpslam_tpu.ops.supernodal import SupernodalSolver
+from gpslam_tpu.parallel import (
+    lm_solve_supernodal_sharded,
+    make_mesh,
+    pad_graph,
+)
+from gpslam_tpu.solve import lm_solve
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def lc_problem():
+    data = synthetic.make_se2_pose_graph(n_states=60, seed=4)
+    assert data["lc_i"].shape[0] > 0
+    return pose2_slam.build(data, dtype=jnp.float64)
+
+
+def test_requires_mesh():
+    assert len(jax.devices()) >= N_DEV
+
+
+def test_sharded_lm_matches_single_device(lc_problem):
+    graph, values = lc_problem
+    mesh = make_mesh(N_DEV, axis_name="node")
+    cfg = LMConfig(max_iterations=8)
+
+    vals_sh, st_sh = lm_solve_supernodal_sharded(graph, values, mesh, cfg)
+
+    sn = SupernodalSolver(pad_graph(graph, N_DEV), values)
+    vals_1, st_1 = lm_solve(pad_graph(graph, N_DEV), values, cfg,
+                            solver=sn.solver)
+
+    assert float(st_sh.error) == pytest.approx(float(st_1.error), rel=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(vals_sh["state"]), np.asarray(vals_1["state"]), atol=1e-9
+    )
+
+
+def test_sharded_linear_step_matches(lc_problem):
+    """One damped normal-equation solve: sharded == single-device."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from gpslam_tpu.parallel.supernodal_shard import ShardedSupernodalSolver
+
+    graph, values = lc_problem
+    gp = pad_graph(graph, N_DEV)
+    mesh = make_mesh(N_DEV, axis_name="node")
+    sn_sh = ShardedSupernodalSolver(gp, values, N_DEV)
+    sn_1 = SupernodalSolver(gp, values)
+    lam = jnp.asarray(0.05, jnp.float64)
+
+    graph_specs = jax.tree_util.tree_map(lambda _: P("node"), gp)
+    values_specs = jax.tree_util.tree_map(lambda _: P(), values)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(graph_specs, values_specs),
+        out_specs={g: P() for g in values},  # delta: one flat array per group
+        check_vma=False,
+    )
+    def sharded_step(graph_local, vals):
+        lins = graphlib.linearize(graph_local, vals)
+        blocks, g = sn_sh.assemble_local(graph_local, lins, vals, "node")
+        blocks, g = jax.lax.psum((blocks, g), "node")
+        blocks = sn_sh.add_damping(blocks, lam)
+        L = sn_sh.factorize_sharded(blocks, "node")
+        return sn_sh.unpack(gp, sn_sh.solve_factored(L, -g))
+
+    d_sh = jax.jit(sharded_step)(gp, values)
+
+    lins = graphlib.linearize(gp, values)
+    d_1 = sn_1.solver(gp, values, lins, lam)
+
+    for grp in d_1:
+        np.testing.assert_allclose(
+            np.asarray(d_sh[grp]), np.asarray(d_1[grp]), atol=1e-10
+        )
