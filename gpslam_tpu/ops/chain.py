@@ -133,11 +133,19 @@ def assemble_chain(graph: Graph, lins, values, roles, state_group: str,
 
 def make_chain_solver(graph: Graph, state_group: str = "state",
                       lm_group: Optional[str] = "landmark",
-                      diagonal_damping: bool = False):
+                      diagonal_damping: bool = False,
+                      use_pallas: bool = False, pallas_min_n: int = 4096,
+                      interpret: bool = False):
     """Build the chain+Schur linear solver after host-side structure checks.
 
     Returned callable matches the lm_solve solver interface:
     solver(graph, values, lins, lam) -> {group: (N_g, dim_g) delta}.
+
+    use_pallas routes the BCR through the fused plane-major Pallas level
+    kernels (ops/pallas_bcr.py; f32, b <= 8, big chains only — measured
+    2-4x over the XLA path at Plaza1x27..1M states on v5e). Small chains,
+    f64, and b > 8 silently fall through to the XLA unrolled path, so the
+    flag is always safe to set.
     """
     if lm_group is not None and lm_group not in graph.manifolds:
         lm_group = None
@@ -156,10 +164,22 @@ def make_chain_solver(graph: Graph, state_group: str = "state",
                 D_damped = D + lam * jax.vmap(jnp.diag)(dd)
             else:
                 D_damped = D + lam * jnp.eye(b, dtype=dtype)
-            ds = -tridiag.bcr_solve(D_damped, U, g_s[..., None])[..., 0]
+            if use_pallas:
+                from . import pallas_bcr
+
+                ds = -pallas_bcr.bcr_solve_fused(
+                    D_damped, U, g_s[..., None], interpret=interpret,
+                )[..., 0]
+            else:
+                ds = -tridiag.bcr_solve(
+                    D_damped, U, g_s[..., None],
+                    pallas_min_n=pallas_min_n, interpret=interpret,
+                )[..., 0]
             return {state_group: ds}
         ds, dl = tridiag.schur_arrowhead_solve(
-            D, U, g_s, H_sl, H_ll, g_l, lam, diagonal_damping
+            D, U, g_s, H_sl, H_ll, g_l, lam, diagonal_damping,
+            use_pallas=use_pallas, pallas_min_n=pallas_min_n,
+            interpret=interpret,
         )
         lm_man = graph.manifolds[lm_group]
         return {

@@ -18,26 +18,26 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_LIB = None
-_LIB_TRIED = False
+_LIBS = {}
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
 
 
 def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
 
 
-def _load_native() -> Optional[ctypes.CDLL]:
-    """Compile (if needed) and load the native ordering library."""
-    global _LIB, _LIB_TRIED
-    if _LIB is not None or _LIB_TRIED:
-        return _LIB
-    _LIB_TRIED = True
-    src = os.path.join(_repo_root(), "native", "md_order.cpp")
+def _load_native(name: str = "md_order") -> Optional[ctypes.CDLL]:
+    """Compile (if needed) and load a native/<name>.cpp library."""
+    if name in _LIBS:
+        return _LIBS[name]
+    _LIBS[name] = None
+    src = os.path.join(_repo_root(), "native", f"{name}.cpp")
     if not os.path.exists(src):
         return None
     cache = os.path.join(tempfile.gettempdir(), "gpslam_tpu_native")
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "libmd_order.so")
+    so = os.path.join(cache, f"lib{name}.so")
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
         try:
             subprocess.run(
@@ -48,17 +48,18 @@ def _load_native() -> Optional[ctypes.CDLL]:
             return None
     try:
         lib = ctypes.CDLL(so)
-        lib.md_order.restype = ctypes.c_int
-        lib.md_order.argtypes = [
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        _LIB = lib
+        if name == "md_order":
+            lib.md_order.restype = ctypes.c_int
+            lib.md_order.argtypes = [ctypes.c_int64] + [_I64P] * 3
+        elif name == "symbolic":
+            lib.symbolic_factor.restype = ctypes.c_int64
+            lib.symbolic_factor.argtypes = (
+                [ctypes.c_int64] + [_I64P] * 6 + [ctypes.c_int64]
+            )
+        _LIBS[name] = lib
     except OSError:
         return None
-    return _LIB
+    return _LIBS[name]
 
 
 def adjacency_from_graph(graph, values) -> Tuple[np.ndarray, np.ndarray, list]:
@@ -145,8 +146,41 @@ def symbolic_factor(indptr, indices, perm) -> Tuple[list, np.ndarray, int]:
     Returns (struct[j] = sorted post-elimination neighbors-above of the j-th
     eliminated variable, parent[] elimination-tree array in elimination
     positions, fill = number of extra off-diagonal block entries created).
+
+    Native C++ child-merge implementation (native/symbolic.cpp, near
+    O(nnz L)) when a compiler is available; quadratic set-based numpy
+    fallback otherwise — results are identical (both sorted).
     """
     n = indptr.shape[0] - 1
+    lib = _load_native("symbolic")
+    if lib is not None and n > 0:
+        indptr64 = np.ascontiguousarray(indptr, np.int64)
+        indices64 = np.ascontiguousarray(indices, np.int64)
+        perm64 = np.ascontiguousarray(perm, np.int64)
+        parent = np.zeros(n, np.int64)
+        sptr = np.zeros(n + 1, np.int64)
+        cap = int(4 * len(indices64) + 16 * n)
+        for _ in range(2):
+            sidx = np.zeros(max(cap, 1), np.int64)
+            nnz = lib.symbolic_factor(
+                ctypes.c_int64(n),
+                indptr64.ctypes.data_as(_I64P),
+                indices64.ctypes.data_as(_I64P),
+                perm64.ctypes.data_as(_I64P),
+                parent.ctypes.data_as(_I64P),
+                sptr.ctypes.data_as(_I64P),
+                sidx.ctypes.data_as(_I64P),
+                ctypes.c_int64(cap),
+            )
+            if nnz >= 0:
+                struct = [
+                    sidx[sptr[j] : sptr[j + 1]].tolist() for j in range(n)
+                ]
+                orig_nnz = len(indices64) // 2
+                return struct, parent, int(nnz - orig_nnz)
+            if nnz == -1:
+                break  # bad input; fall through to the numpy path
+            cap = -int(nnz)
     pos = np.zeros(n, np.int64)
     pos[perm] = np.arange(n)
     adj = [set((pos[indices[indptr[i] : indptr[i + 1]]]).tolist())

@@ -1,0 +1,265 @@
+"""Fused Pallas BCR level kernels — the flagship chain-solver kernels
+(BASELINE.json "supernodal block-sparse Cholesky expressed as batched dense
+Pallas blocks"; SURVEY.md §7 M4, pallas_guide.md).
+
+Block cyclic reduction's per-level work is "for every odd block: factorize
+D_odd, solve a handful of small right-hand sides, form five products". The
+XLA path (ops/tridiag.py) materializes each intermediate (S1, S2, the
+stacked solve, the shifted contributions) in HBM — measured ~25x off the
+traffic bound at 1M states. These kernels fuse one whole level into two
+passes:
+
+  REDUCE kernel:  d_odd, u_eo, u_oe, r_odd  ->  L, P1, P2, P3, q1, q2
+     where A1 = D^-1 U_eo^T, A2 = D^-1 U_oe, z = D^-1 r_odd and
+     P1 = U_eo A1, P2 = U_eo A2 (= -U_red), P3 = U_oe^T A2,
+     q1 = U_eo z, q2 = U_oe^T z.
+     (The cheap shifted subtractions D_red = D_even - P1 - shift(P3) etc.
+     stay in XLA — pure elementwise, fused for free.)
+
+  BACKSUB kernel: L, u_eo, u_oe, r_odd, x_even, x_next -> x_odd
+     x_odd = (L L^T)^-1 (r_odd - U_eo^T x_even - U_oe x_next).
+
+PLANE-MAJOR layout: every block entry (i,j) is a PLANE over the chain
+dimension; arrays are (b*b, M, 128) with N = M*128 chain elements, so each
+in-kernel row access yields a full (TM, 128) tile = fully-packed (8,128)
+VPU registers (a (1, N) row layout would idle 7/8 of the VPU sublanes).
+Every one of the ~b^3 small-block recurrence steps is then one full-width
+VPU op; the whole level runs out of VMEM with one HBM read of the inputs
+and one write of the outputs.
+
+Equivalence vs the XLA path is tested in interpret mode (§5.2 sanitizer)
+and on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import smallblock as sb
+
+LANE = 128
+
+
+def _chol_rows(b, a):
+    """Unrolled Cholesky-Crout on row planes a[i*b+j] -> L[i][j] (i >= j)."""
+    L = [[None] * b for _ in range(b)]
+    for j in range(b):
+        s = a[j * b + j]
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        L[j][j] = jnp.sqrt(s)
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, b):
+            s = a[i * b + j]
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            L[i][j] = s * inv
+    return L
+
+
+def _chol_solve_col(b, L, rhs):
+    """x = (L L^T)^-1 rhs for one column rhs (list of b planes)."""
+    y = [None] * b
+    for i in range(b):
+        s = rhs[i]
+        for t in range(i):
+            s = s - L[i][t] * y[t]
+        y[i] = s / L[i][i]
+    x = [None] * b
+    for i in reversed(range(b)):
+        s = y[i]
+        for t in range(i + 1, b):
+            s = s - L[t][i] * x[t]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _reduce_kernel(b, k, d_ref, ueo_ref, uoe_ref, r_ref,
+                   l_ref, p1_ref, p2_ref, p3_ref, q1_ref, q2_ref):
+    d = [d_ref[i] for i in range(b * b)]
+    ueo = [ueo_ref[i] for i in range(b * b)]
+    uoe = [uoe_ref[i] for i in range(b * b)]
+    r = [r_ref[i] for i in range(b * k)]
+
+    L = _chol_rows(b, d)
+    zero = jnp.zeros_like(d[0])
+    for i in range(b):
+        for j in range(b):
+            l_ref[i * b + j] = L[i][j] if i >= j else zero
+
+    # A1[:, c] = D^-1 (U_eo^T)[:, c];  (U_eo^T)[i, c] = U_eo[c, i]
+    A1 = [_chol_solve_col(b, L, [ueo[c * b + i] for i in range(b)])
+          for c in range(b)]  # A1[c][i] = A1[i, c]
+    A2 = [_chol_solve_col(b, L, [uoe[i * b + c] for i in range(b)])
+          for c in range(b)]
+    z = [_chol_solve_col(b, L, [r[i * k + c] for i in range(b)])
+         for c in range(k)]
+
+    for i in range(b):
+        for j in range(b):
+            s1 = ueo[i * b + 0] * A1[j][0]
+            s2 = ueo[i * b + 0] * A2[j][0]
+            s3 = uoe[0 * b + i] * A2[j][0]
+            for t in range(1, b):
+                s1 = s1 + ueo[i * b + t] * A1[j][t]
+                s2 = s2 + ueo[i * b + t] * A2[j][t]
+                s3 = s3 + uoe[t * b + i] * A2[j][t]
+            p1_ref[i * b + j] = s1
+            p2_ref[i * b + j] = s2
+            p3_ref[i * b + j] = s3
+    for i in range(b):
+        for c in range(k):
+            s1 = ueo[i * b + 0] * z[c][0]
+            s2 = uoe[0 * b + i] * z[c][0]
+            for t in range(1, b):
+                s1 = s1 + ueo[i * b + t] * z[c][t]
+                s2 = s2 + uoe[t * b + i] * z[c][t]
+            q1_ref[i * k + c] = s1
+            q2_ref[i * k + c] = s2
+
+
+def _backsub_kernel(b, k, l_ref, ueo_ref, uoe_ref, r_ref, xe_ref, xn_ref,
+                    xo_ref):
+    ueo = [ueo_ref[i] for i in range(b * b)]
+    uoe = [uoe_ref[i] for i in range(b * b)]
+    L = [[l_ref[i * b + j] if i >= j else None for j in range(b)]
+         for i in range(b)]
+    for c in range(k):
+        rhs = []
+        for i in range(b):
+            s = r_ref[i * k + c]
+            for t in range(b):
+                # (U_eo^T x_even)[i] = sum_t U_eo[t, i] x_even[t]
+                s = s - ueo[t * b + i] * xe_ref[t * k + c]
+                s = s - uoe[i * b + t] * xn_ref[t * k + c]
+            rhs.append(s)
+        x = _chol_solve_col(b, L, rhs)
+        for i in range(b):
+            xo_ref[i * k + c] = x[i]
+
+
+def _call_level(kernel, b, k, ins, out_rows, tile_m, interpret):
+    """Run a level kernel over (rows, M, 128) plane arrays."""
+    M = ins[0].shape[1]
+    dtype = ins[0].dtype
+    grid = (M // tile_m,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, tile_m, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(kernel, b, k),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, M, LANE), dtype) for rows in out_rows
+        ),
+        grid=grid,
+        in_specs=[spec(x.shape[0]) for x in ins],
+        out_specs=tuple(spec(rows) for rows in out_rows),
+        interpret=interpret,
+    )(*ins)
+
+
+def _shift_right(P):
+    """(rows, M, 128) planes: shift by ONE chain element (flattened lanes)."""
+    rows, M, _ = P.shape
+    flat = P.reshape(rows, M * LANE)
+    flat = jnp.pad(flat[:, :-1], ((0, 0), (1, 0)))
+    return flat.reshape(rows, M, LANE)
+
+
+def _shift_left(P):
+    rows, M, _ = P.shape
+    flat = P.reshape(rows, M * LANE)
+    flat = jnp.pad(flat[:, 1:], ((0, 0), (0, 1)))
+    return flat.reshape(rows, M, LANE)
+
+
+def _deinterleave(P):
+    """(rows, M, 128) -> even/odd chain elements, each (rows, M/2, 128)."""
+    rows, M, _ = P.shape
+    flat = P.reshape(rows, M * LANE // 2, 2)
+    ev = flat[..., 0].reshape(rows, M // 2, LANE)
+    od = flat[..., 1].reshape(rows, M // 2, LANE)
+    return ev, od
+
+
+def _interleave(ev, od):
+    rows, M2, _ = ev.shape
+    flat = jnp.stack([ev.reshape(rows, -1), od.reshape(rows, -1)], axis=-1)
+    return flat.reshape(rows, 2 * M2, LANE)
+
+
+def bcr_solve_fused(D, U, r, min_pallas_n: int = 8192, tile_m: int = 16,
+                    interpret: bool = False):
+    """Block-tridiagonal solve with fused Pallas level kernels.
+
+    D (N,b,b) SPD, U (N,b,b; U[N-1]=0), r (N,b,k) -> x (N,b,k).
+    Levels with at least min_pallas_n odd blocks run the fused kernels;
+    smaller levels (and the recursion base) use the XLA unrolled path.
+    min_pallas_n must be >= 64*tile_m so plane shapes stay tile-aligned.
+    """
+    from . import tridiag
+
+    N, b, _ = D.shape
+    k = r.shape[-1]
+    dtype = D.dtype
+    if N < 2 * min_pallas_n or dtype != jnp.float32 or b > 8:
+        return tridiag.bcr_solve(D, U, r)
+
+    m = 1 << (N - 1).bit_length()
+    if m != N:
+        eye = jnp.broadcast_to(jnp.eye(b, dtype=dtype), (m - N, b, b))
+        D = jnp.concatenate([D, eye], 0)
+        U = jnp.concatenate([U, jnp.zeros((m - N, b, b), dtype)], 0)
+        r = jnp.concatenate([r, jnp.zeros((m - N, b, k), dtype)], 0)
+
+    # to plane-major (rows, M, 128)
+    Dp = D.reshape(m, b * b).T.reshape(b * b, m // LANE, LANE)
+    Up = U.reshape(m, b * b).T.reshape(b * b, m // LANE, LANE)
+    rp = r.reshape(m, b * k).T.reshape(b * k, m // LANE, LANE)
+
+    xp = _bcr_planes(Dp, Up, rp, b, k, min_pallas_n, tile_m, interpret)
+    x = xp.reshape(b * k, m).T.reshape(m, b, k)
+    return x[:N]
+
+
+def _bcr_planes(Dp, Up, rp, b, k, min_n, tile_m, interpret):
+    from . import tridiag
+
+    n = Dp.shape[1] * LANE
+    n2 = n // 2
+    if n2 < max(min_n, 2 * tile_m * LANE):
+        # fall back to the XLA blocked path for the small deep levels
+        D = Dp.reshape(b * b, n).T.reshape(n, b, b)
+        U = Up.reshape(b * b, n).T.reshape(n, b, b)
+        r = rp.reshape(b * k, n).T.reshape(n, b, k)
+        x = tridiag.bcr_solve(D, U, r)
+        return x.reshape(n, b * k).T.reshape(b * k, n // LANE, LANE)
+
+    D_ev, D_od = _deinterleave(Dp)
+    U_eo, U_oe = _deinterleave(Up)
+    r_ev, r_od = _deinterleave(rp)
+
+    bb, bk = b * b, b * k
+    L, P1, P2, P3, q1, q2 = _call_level(
+        _reduce_kernel, b, k, [D_od, U_eo, U_oe, r_od],
+        [bb, bb, bb, bb, bk, bk], tile_m, interpret,
+    )
+    D_red = D_ev - P1 - _shift_right(P3)
+    U_red = -P2
+    r_red = r_ev - q1 - _shift_right(q2)
+
+    x_ev = _bcr_planes(D_red, U_red, r_red, b, k, min_n, tile_m, interpret)
+
+    x_nx = _shift_left(x_ev)
+    (x_od,) = _call_level(
+        _backsub_kernel, b, k, [L, U_eo, U_oe, r_od, x_ev, x_nx],
+        [bk], tile_m, interpret,
+    )
+    return _interleave(x_ev, x_od)

@@ -85,3 +85,39 @@ def test_graph_adjacency_and_ordering():
     _, _, fill_nat = order.symbolic_factor(indptr, indices,
                                            np.arange(n, dtype=np.int64))
     assert fill <= fill_nat
+
+
+def test_native_symbolic_matches_python():
+    """native/symbolic.cpp child-merge == the quadratic numpy fallback."""
+    assert order._load_native("symbolic") is not None
+
+    rng = np.random.default_rng(11)
+    n = 60
+    pairs = {(i, i + 1) for i in range(n - 1)}
+    for _ in range(40):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    adj = [[] for _ in range(n)]
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    indptr = np.zeros(n + 1, np.int64)
+    for i in range(n):
+        indptr[i + 1] = indptr[i] + len(adj[i])
+    indices = np.concatenate([np.sort(adj[i]) for i in range(n)]).astype(np.int64)
+
+    for perm in (np.arange(n, dtype=np.int64),
+                 order.min_degree_ordering(indptr, indices),
+                 rng.permutation(n).astype(np.int64)):
+        s_n, p_n, f_n = order.symbolic_factor(indptr, indices, perm)
+        # force the numpy fallback
+        libs = order._LIBS.copy()
+        try:
+            order._LIBS["symbolic"] = None
+            s_p, p_p, f_p = order.symbolic_factor(indptr, indices, perm)
+        finally:
+            order._LIBS.update(libs)
+        assert s_n == s_p
+        np.testing.assert_array_equal(p_n, p_p)
+        assert f_n == f_p
