@@ -31,7 +31,9 @@ def bench_bcr(n, b=4, k=1, dtype=jnp.float32):
     # time to a HOST-FETCHED scalar: block_until_ready proved unreliable
     # through the axon tunnel (reported sub-RTT "timings"); jnp.sum inside
     # jit keeps the transfer tiny while forcing full execution
-    f = jax.jit(lambda D, U, r: jnp.sum(tridiag.bcr_solve(D, U, r)))
+    f = jax.jit(lambda D, U, r: jnp.sum(
+        tridiag.bcr_solve_auto(D, U, r, use_pallas="--no-pallas" not in sys.argv)
+    ))
     float(f(D, U, r))
     best = float("inf")
     for _ in range(3):

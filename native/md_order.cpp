@@ -2,10 +2,12 @@
 // framework's counterpart of the reference's vendored CCOLAMD/COLAMD C code).
 //
 // Greedy minimum-degree on the undirected variable-adjacency graph with
-// explicit elimination-clique formation. Host-side symbolic work runs once
-// per sparsity pattern (SURVEY.md §7), so simplicity and robustness beat
-// asymptotic tricks here; the quotient-graph AMD refinement can replace the
-// interior loop without changing the ABI.
+// explicit elimination-clique formation. Pivot selection uses degree
+// buckets (doubly-linked lists per degree, rising min-degree cursor) so
+// selection is amortized O(1) instead of an O(n) scan per step; the
+// remaining cost is clique formation, which is what AMD's quotient-graph
+// refinement would remove without changing this ABI. Host-side symbolic
+// work runs once per sparsity pattern (SURVEY.md §7).
 //
 // C ABI (ctypes):
 //   int md_order(int64 n, const int64* indptr, const int64* indices,
@@ -17,6 +19,41 @@
 #include <vector>
 #include <unordered_set>
 #include <algorithm>
+
+namespace {
+
+struct Buckets {
+  std::vector<std::int64_t> head, nxt, prv, deg;
+  std::int64_t mindeg = 0;
+
+  explicit Buckets(std::int64_t n)
+      : head(n + 1, -1), nxt(n, -1), prv(n, -1), deg(n, 0) {}
+
+  void insert(std::int64_t i, std::int64_t d) {
+    deg[i] = d;
+    nxt[i] = head[d];
+    prv[i] = -1;
+    if (head[d] >= 0) prv[head[d]] = i;
+    head[d] = i;
+    if (d < mindeg) mindeg = d;
+  }
+
+  void remove(std::int64_t i) {
+    if (prv[i] >= 0) nxt[prv[i]] = nxt[i];
+    else head[deg[i]] = nxt[i];
+    if (nxt[i] >= 0) prv[nxt[i]] = prv[i];
+  }
+
+  std::int64_t pop_min(std::int64_t n) {
+    while (mindeg <= n && head[mindeg] < 0) ++mindeg;
+    if (mindeg > n) return -1;
+    std::int64_t i = head[mindeg];
+    remove(i);
+    return i;
+  }
+};
+
+}  // namespace
 
 extern "C" int md_order(std::int64_t n, const std::int64_t* indptr,
                         const std::int64_t* indices, std::int64_t* perm) {
@@ -30,18 +67,13 @@ extern "C" int md_order(std::int64_t n, const std::int64_t* indptr,
       adj[j].insert(i);
     }
   }
+  Buckets bk(n);
+  for (std::int64_t i = 0; i < n; ++i)
+    bk.insert(i, static_cast<std::int64_t>(adj[i].size()));
+
   std::vector<char> eliminated(n, 0);
-  // simple bucketed min-degree selection
   for (std::int64_t k = 0; k < n; ++k) {
-    std::int64_t best = -1;
-    std::size_t best_deg = static_cast<std::size_t>(-1);
-    for (std::int64_t i = 0; i < n; ++i) {
-      if (!eliminated[i] && adj[i].size() < best_deg) {
-        best = i;
-        best_deg = adj[i].size();
-        if (best_deg == 0) break;
-      }
-    }
+    std::int64_t best = bk.pop_min(n);
     if (best < 0) return 1;
     perm[k] = best;
     eliminated[best] = 1;
@@ -55,6 +87,14 @@ extern "C" int md_order(std::int64_t n, const std::int64_t* indptr,
       }
     }
     adj[best].clear();
+    for (std::int64_t a : nbrs) {
+      if (eliminated[a]) continue;
+      std::int64_t d = static_cast<std::int64_t>(adj[a].size());
+      if (d != bk.deg[a]) {
+        bk.remove(a);
+        bk.insert(a, d);
+      }
+    }
   }
   return 0;
 }
