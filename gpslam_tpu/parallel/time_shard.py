@@ -35,12 +35,17 @@ from ..ops import smallblock as sb
 from ..ops.tridiag import bcr_solve
 
 
-def spike_solve(D_loc, U_loc, r_loc, axis_name: str):
+def spike_solve(D_loc, U_loc, r_loc, axis_name: str,
+                use_rdma: bool = False, rdma_interpret: bool = False):
     """Distributed solve inside shard_map: each device passes ITS chunk.
 
     D_loc (m, b, b), U_loc (m, b, b) — U_loc[j] couples local j to j+1;
     U_loc[m-1] couples to the NEXT device's first state (zero on the last
     device). r_loc (m, b, k). Returns x_loc (m, b, k). Requires m >= 4.
+
+    use_rdma routes the boundary-system gather through the Pallas RDMA
+    ring (parallel/rdma.py, §5.8d) instead of XLA's all_gather;
+    rdma_interpret simulates the DMAs (CPU-mesh tests).
     """
     m, b_dim, _ = D_loc.shape
     k = r_loc.shape[-1]
@@ -80,13 +85,31 @@ def spike_solve(D_loc, U_loc, r_loc, axis_name: str):
     U_red_loc = jnp.stack([W, U_loc[m - 1]], 0)  # (2, b, b)
     g_red_loc = jnp.stack([g0r, g1r], 0)  # (2, b, k)
 
-    D_red = jax.lax.all_gather(D_red_loc, axis_name).reshape(
-        2 * n_dev, b_dim, b_dim
-    )
-    U_red = jax.lax.all_gather(U_red_loc, axis_name).reshape(
-        2 * n_dev, b_dim, b_dim
-    )
-    g_red = jax.lax.all_gather(g_red_loc, axis_name).reshape(2 * n_dev, b_dim, k)
+    if use_rdma:
+        from . import rdma
+
+        payload = jnp.concatenate(
+            [D_red_loc.reshape(2, -1), U_red_loc.reshape(2, -1),
+             g_red_loc.reshape(2, -1)], axis=-1,
+        )
+        gathered = rdma.ring_all_gather(payload, axis_name, int(n_dev),
+                                        interpret=rdma_interpret,
+                                        collective_id=21)
+        gathered = gathered.reshape(2 * n_dev, -1)
+        bb = b_dim * b_dim
+        D_red = gathered[:, :bb].reshape(2 * n_dev, b_dim, b_dim)
+        U_red = gathered[:, bb : 2 * bb].reshape(2 * n_dev, b_dim, b_dim)
+        g_red = gathered[:, 2 * bb :].reshape(2 * n_dev, b_dim, k)
+    else:
+        D_red = jax.lax.all_gather(D_red_loc, axis_name).reshape(
+            2 * n_dev, b_dim, b_dim
+        )
+        U_red = jax.lax.all_gather(U_red_loc, axis_name).reshape(
+            2 * n_dev, b_dim, b_dim
+        )
+        g_red = jax.lax.all_gather(g_red_loc, axis_name).reshape(
+            2 * n_dev, b_dim, k
+        )
 
     x_red = bcr_solve(D_red, U_red, g_red)  # replicated tiny solve
     x0 = x_red[2 * c]
@@ -98,7 +121,9 @@ def spike_solve(D_loc, U_loc, r_loc, axis_name: str):
 
 
 def spike_schur_arrowhead_solve(D_loc, U_loc, g_loc, H_sl_loc, H_ll, g_l,
-                                lam, axis_name: str):
+                                lam, axis_name: str,
+                                use_rdma: bool = False,
+                                rdma_interpret: bool = False):
     """Distributed chain + replicated-landmark arrowhead solve (the sharded
     twin of ops.tridiag.schur_arrowhead_solve).
 
@@ -112,7 +137,8 @@ def spike_schur_arrowhead_solve(D_loc, U_loc, g_loc, H_sl_loc, H_ll, g_l,
     H_ll_damped = H_ll + lam * jnp.eye(P, dtype=dtype)
 
     rhs = jnp.concatenate([g_loc[..., None], H_sl_loc], axis=-1)
-    sol = spike_solve(D_damped, U_loc, rhs, axis_name)
+    sol = spike_solve(D_damped, U_loc, rhs, axis_name, use_rdma=use_rdma,
+                      rdma_interpret=rdma_interpret)
     z = sol[..., 0]
     Y = sol[..., 1:]
 
@@ -212,6 +238,8 @@ def lm_solve_time_sharded(
     state_group: str = "state",
     lm_group: Optional[str] = "landmark",
     axis_name: str = "time",
+    use_rdma: bool = False,
+    rdma_interpret: bool = False,
 ):
     """LM with the TRAJECTORY sharded over the mesh (P4): per iteration, one
     ppermute halo exchange of the neighbor boundary state, local
@@ -220,6 +248,12 @@ def lm_solve_time_sharded(
 
     Requires n_states %% n_dev == 0 and chunk length >= 4. Chain-structured
     graphs only (same contract as ops/chain.py).
+
+    use_rdma swaps every neighbor/boundary collective for its Pallas RDMA
+    ring twin (parallel/rdma.py, SURVEY.md §5.8d) — halo exchange,
+    boundary send-back, and the SPIKE gather; the default keeps the XLA
+    collectives (the mandated fallback). rdma_interpret runs the ring
+    kernels in interpret mode (CPU-mesh testing).
     """
     from ..ops import chain as chain_ops
     from ..solve.lm import _lm_loop
@@ -257,10 +291,21 @@ def lm_solve_time_sharded(
     def _halo(values_loc):
         """Append the right neighbor's first state as local slot m."""
         state = values_loc[state_group]
-        perm = [((c + 1) % n_dev, c) for c in range(n_dev)]
-        halo = jax.tree_util.tree_map(
-            lambda a: jax.lax.ppermute(a[:1], axis_name, perm), state
-        )
+        if use_rdma:
+            from . import rdma
+
+            cid = iter(range(30, 60))
+            halo = jax.tree_util.tree_map(
+                lambda a: rdma.ring_shift(a[:1], axis_name, shift=-1,
+                                          interpret=rdma_interpret,
+                                          collective_id=next(cid)),
+                state,
+            )
+        else:
+            perm = [((c + 1) % n_dev, c) for c in range(n_dev)]
+            halo = jax.tree_util.tree_map(
+                lambda a: jax.lax.ppermute(a[:1], axis_name, perm), state
+            )
         ext = jax.tree_util.tree_map(
             lambda a, h: jnp.concatenate([a, h], 0), state, halo
         )
@@ -293,9 +338,17 @@ def lm_solve_time_sharded(
             # D/U/g/H_sl have m+1 rows; row m belongs to the right
             # neighbor's first state -> ppermute it back and add
             perm_back = [(c, (c + 1) % n_dev) for c in range(n_dev)]
+            cid_back = iter(range(60, 90))
 
             def send_back(a):
-                recv = jax.lax.ppermute(a[m:m + 1], axis_name, perm_back)
+                if use_rdma:
+                    from . import rdma
+
+                    recv = rdma.ring_shift(a[m:m + 1], axis_name, shift=1,
+                                           interpret=rdma_interpret,
+                                           collective_id=next(cid_back))
+                else:
+                    recv = jax.lax.ppermute(a[m:m + 1], axis_name, perm_back)
                 return a[:m].at[0].add(recv[0])
 
             D = send_back(D)
@@ -311,12 +364,16 @@ def lm_solve_time_sharded(
             lam = jnp.asarray(lam, dtype)
             if lm_group is None:
                 D_damped = D + lam * jnp.eye(b_dim, dtype=dtype)
-                ds = -spike_solve(D_damped, U, g_s[..., None], axis_name)[..., 0]
+                ds = -spike_solve(
+                    D_damped, U, g_s[..., None], axis_name,
+                    use_rdma=use_rdma, rdma_interpret=rdma_interpret,
+                )[..., 0]
                 return {state_group: ds}
             H_sl = send_back(H_sl)
             H_ll, g_l = jax.lax.psum((H_ll, g_l), axis_name)
             ds, dl = spike_schur_arrowhead_solve(
-                D, U, g_s, H_sl, H_ll, g_l, lam, axis_name
+                D, U, g_s, H_sl, H_ll, g_l, lam, axis_name,
+                use_rdma=use_rdma, rdma_interpret=rdma_interpret,
             )
             return {
                 state_group: ds,
