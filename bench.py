@@ -41,7 +41,9 @@ def make_solver(graph):
     from gpslam_tpu.ops import chain
     from gpslam_tpu.solve import lm_solve
 
-    solver = chain.make_chain_solver(graph)
+    # fused Pallas BCR levels on TPU (falls through to XLA on CPU/small N)
+    use_pallas = jax.default_backend() == "tpu"
+    solver = chain.make_chain_solver(graph, use_pallas=use_pallas)
     cfg = LMConfig(max_iterations=40)
     return jax.jit(lambda g, v: lm_solve(g, v, cfg, solver=solver))
 

@@ -19,15 +19,17 @@ import jax.numpy as jnp
 from gpslam_tpu.graph import graph as graphlib
 from gpslam_tpu.io import synthetic
 from gpslam_tpu.models import pose2_slam
+from gpslam_tpu.ops.amalgamated import AmalgamatedSupernodalSolver
 from gpslam_tpu.ops.supernodal import SupernodalSolver
 
 REPS = 16
 
 
-def main(n_states=600):
+def main(n_states=600, w_max=0):
     data = synthetic.make_se2_pose_graph(n_states=n_states, seed=4)
     graph, values = pose2_slam.build(data, dtype=jnp.float32)
-    sn = SupernodalSolver(graph, values)
+    sn = (AmalgamatedSupernodalSolver(graph, values, w_max=w_max)
+          if w_max > 1 else SupernodalSolver(graph, values))
     b = sn.b
     flops = 0
     for (u_dst, _, _), (cols, offs, _) in zip(sn.upd_sched, sn.col_sched):
@@ -57,4 +59,5 @@ def main(n_states=600):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 0)

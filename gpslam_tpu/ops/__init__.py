@@ -2,10 +2,12 @@
 supernodal sparse Cholesky, Pallas kernels, host-side ordering."""
 
 from . import (  # noqa: F401
+    amalgamated,
     chain,
     dense,
     matfree,
     order,
+    pallas_bcr,
     pallas_chol,
     pcg,
     smallblock,

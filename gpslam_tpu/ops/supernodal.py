@@ -68,7 +68,15 @@ class SupernodalSolver:
         pos = np.zeros(n, np.int64)
         pos[perm] = np.arange(n)
         self.pos = pos
+        self._build_numeric_schedules(struct, parent)
+        self._build_assembly(graph)
+        self._build_pad_eye(var_dim)
 
+    def _build_numeric_schedules(self, struct, parent):
+        """Per-level static schedules for the block factorization/solves.
+        Uses self.n (block-variable count, elimination positions) and the
+        column structure; independent of block size."""
+        n = self.n
         # block storage: [0..n) diagonal blocks by column position,
         # then off-diagonal blocks (i, j) i > j (elimination positions)
         off_id: Dict[Tuple[int, int], int] = {}
@@ -147,9 +155,12 @@ class SupernodalSolver:
             for bb in bwd
         ]
 
+    def _build_assembly(self, graph):
         # ---- factor-batch assembly destinations ------------------------
         # per batch, per ordered slot pair (s, t): destination block id and
         # whether the contribution must be transposed (stored lower)
+        pos = self.pos
+        off_id = self.off_id
         self.assembly = []
         for batch in graph.batches:
             idx = [
@@ -179,14 +190,14 @@ class SupernodalSolver:
                                      jnp.asarray(transpose), keep))
             self.assembly.append(per_pair)
 
+    def _build_pad_eye(self, var_dim):
         # identity on PADDED diagonal dims (variable dim < b), by position
-        pad_eye = np.zeros((n, self.b, self.b))
-        for v in range(n):
+        pad_eye = np.zeros((self.n, self.b, self.b))
+        for v in range(self.n):
             d = int(var_dim[v])
             for q in range(d, self.b):
-                pad_eye[int(pos[v]), q, q] = 1.0
+                pad_eye[int(self.pos[v]), q, q] = 1.0
         self._pad_eye = pad_eye
-        # per-slot gather positions are precomputed in assembly loop below
 
     # ------------------------------------------------------------ numeric
     def assemble_raw(self, graph, lins, values, assembly=None):

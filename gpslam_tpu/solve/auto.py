@@ -54,11 +54,11 @@ def auto_solver(graph, values, state_group: str = "state",
             print("auto_solver: dense")
         return make_dense_solver(diagonal_damping)
     if n_vars <= _SUPERNODAL_MAX_VARS:
-        from ..ops.supernodal import SupernodalSolver
+        from ..ops.amalgamated import AmalgamatedSupernodalSolver
 
         if verbose:
-            print("auto_solver: supernodal sparse Cholesky")
-        return SupernodalSolver(graph, values).solver
+            print("auto_solver: amalgamated supernodal sparse Cholesky")
+        return AmalgamatedSupernodalSolver(graph, values).solver
     if verbose:
         print("auto_solver: block-Jacobi PCG")
     return pcg_ops.make_pcg_solver(diagonal_damping=diagonal_damping)
