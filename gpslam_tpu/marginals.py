@@ -100,6 +100,35 @@ def chain_marginals(graph, values, state_group: str = "state",
     return {state_group: Sigma_ss + corr, lm_group: Sigma_ll_diag}
 
 
+def supernodal_marginals(graph, values, solver=None, amalgamate: bool = True,
+                         w_max: int = 4):
+    """Marginal covariances for ARBITRARY sparse graphs (loop-closure pose
+    graphs, mixed pose+landmark) via the blocked Takahashi selected inverse
+    over the supernodal level schedules — the S12 path for everything the
+    chain recurrences don't cover, replacing GTSAM's Bayes-tree shortcut
+    machinery (SURVEY.md §3.5) without ever forming H^{-1}.
+
+    Pass `solver` (a SupernodalSolver built on this graph) to reuse its
+    symbolic analysis; otherwise one is constructed here.
+    Returns {group: (N_g, d_g, d_g)} tangent-space covariances at `values`.
+    """
+    if solver is None:
+        if amalgamate:
+            from .ops.amalgamated import AmalgamatedSupernodalSolver
+
+            solver = AmalgamatedSupernodalSolver(graph, values, w_max=w_max)
+        else:
+            from .ops.supernodal import SupernodalSolver
+
+            solver = SupernodalSolver(graph, values)
+    lins = graphlib.linearize(graph, values)
+    blocks, _ = solver.assemble_raw(graph, lins, values)
+    blocks = solver.add_damping(blocks, 0.0)  # identity on padded dims only
+    L = solver.factorize(blocks)
+    S = solver.selected_inverse(L)
+    return solver.diag_marginals(S, graph)
+
+
 def dense_marginals(graph, values):
     """Dense fallback for arbitrary small graphs: block-diagonal of H^{-1}
     per variable. Returns {group: (N_g, dim_g, dim_g)}."""

@@ -244,6 +244,24 @@ class AmalgamatedSupernodalSolver(SupernodalSolver):
         g = g.at[self._g_row[:, None], gc].add(g_var)
         return panels, g
 
+    def diag_marginals(self, S, graph):
+        """Per-variable marginals out of supernode-panel diagonals: variable
+        at position p lives in panel snode[p] at offset off_in[p]*b_var."""
+        b = self.b_var
+        ar = jnp.arange(b)
+        rows = self._g_row[:, None, None]
+        ri = (self._g_col[:, None] + ar)[:, :, None]
+        ci = (self._g_col[:, None] + ar)[:, None, :]
+        Sv = S[rows, ri, ci]          # (n_var, b, b) by elimination position
+        Sv = Sv[jnp.asarray(self.pos)]  # by global variable id
+        out = {}
+        for grp in self.groups:
+            o = self.group_offset[grp]
+            nn = self.group_sizes[grp]
+            d = graph.manifolds[grp].dim
+            out[grp] = Sv[o : o + nn, :d, :d]
+        return out
+
     @property
     def solver(self):
         """lm_solve-compatible: solver(graph, values, lins, lam) -> delta."""

@@ -77,6 +77,7 @@ class SupernodalSolver:
         Uses self.n (block-variable count, elimination positions) and the
         column structure; independent of block size."""
         n = self.n
+        self.struct = struct  # kept for the selected-inverse schedules
         # block storage: [0..n) diagonal blocks by column position,
         # then off-diagonal blocks (i, j) i > j (elimination positions)
         off_id: Dict[Tuple[int, int], int] = {}
@@ -300,6 +301,94 @@ class SupernodalSolver:
                 )[..., 0]
             )
         return x
+
+    # ------------------------------------------- selected inverse (S12)
+    def _build_selected_schedules(self):
+        """Static per-level schedules for the blocked Takahashi recurrence.
+
+        Processing columns j in REVERSE level order (root first), with
+        c = struct(j) (strict ancestors, already finalized):
+          A)  T_ij = sum_{k in c} S_ik L_kj            (i in c)
+          B)  S_cj = -T_cj L_jj^{-1}
+          C)  T_jj = sum_{k in c} S_kj^T L_kj
+          D)  S_jj = L_jj^{-T} L_jj^{-1} - T_jj L_jj^{-1}   (symmetrized)
+        Validity relies on the symbolic-fill closure property: i, k in
+        struct(j) with i > k implies (i, k) is in the factor pattern —
+        guaranteed by the elimination construction in order.symbolic_factor.
+        """
+        struct, off_id = self.struct, self.off_id
+        self._sel_sched = []
+        for lv in self.levels:
+            dstA, s1, tr, s2, col_slot = [], [], [], [], []
+            for jj, j in enumerate(lv):
+                c = struct[j]
+                for i in c:
+                    col_slot.append(jj)
+                    for k in c:
+                        if i == k:
+                            sid, t = int(k), False
+                        elif i > k:
+                            sid, t = off_id[(int(i), int(k))], False
+                        else:
+                            sid, t = off_id[(int(k), int(i))], True
+                        dstA.append(off_id[(int(i), j)])
+                        s1.append(sid)
+                        tr.append(t)
+                        s2.append(off_id[(int(k), j)])
+            self._sel_sched.append((
+                np.asarray(dstA, np.int32), np.asarray(s1, np.int32),
+                np.asarray(tr, bool), np.asarray(s2, np.int32),
+                np.asarray(col_slot, np.int32),
+            ))
+
+    def selected_inverse(self, L):
+        """Selected inverse of H = L L^T on the factor's block pattern.
+
+        L is the output of `factorize`; returns S with the same storage
+        layout (diag blocks [0..n), off blocks at off_id) — every block of
+        H^{-1} that lies inside the fill pattern, which includes all
+        per-variable marginal covariances (GTSAM Marginals semantics,
+        SURVEY.md §2.2 S12 / §3.5) without ever forming H^{-1}.
+        """
+        if not hasattr(self, "_sel_sched"):
+            self._build_selected_schedules()
+        swap = lambda A: jnp.swapaxes(A, -1, -2)  # noqa: E731
+        S = jnp.zeros_like(L)
+        eye = jnp.eye(self.b, dtype=L.dtype)
+        for li in reversed(range(len(self.levels))):
+            cols, offs, offs_diag = self.col_sched[li]
+            dstA, s1, tr, s2, col_slot = self._sel_sched[li]
+            Ljj = L[cols]
+            Linv = sb.solve_lower(Ljj, jnp.broadcast_to(eye, Ljj.shape))
+            Sjj = sb.matmul_hp(swap(Linv), Linv)
+            if len(offs):
+                if len(dstA):
+                    Sik = S[s1]
+                    Sik = jnp.where(jnp.asarray(tr)[:, None, None],
+                                    swap(Sik), Sik)
+                    S = S.at[dstA].add(sb.matmul_hp(Sik, L[s2]))
+                T = S[offs]
+                Scj = -swap(sb.solve_upper_from_lower(L[offs_diag], swap(T)))
+                S = S.at[offs].set(Scj)
+                contrib = sb.matmul_hp(swap(Scj), L[offs])
+                Tjj = jax.ops.segment_sum(contrib, jnp.asarray(col_slot),
+                                          num_segments=len(cols))
+                Sjj = Sjj - swap(sb.solve_upper_from_lower(Ljj, swap(Tjj)))
+            Sjj = 0.5 * (Sjj + swap(Sjj))
+            S = S.at[cols].set(Sjj)
+        return S
+
+    def diag_marginals(self, S, graph):
+        """Per-variable (d, d) tangent marginal covariances from a selected
+        inverse: {group: (N_g, d_g, d_g)}."""
+        pos = jnp.asarray(self.pos)
+        out = {}
+        for grp in self.groups:
+            o = self.group_offset[grp]
+            nn = self.group_sizes[grp]
+            d = graph.manifolds[grp].dim
+            out[grp] = S[pos[o : o + nn], :d, :d]
+        return out
 
     @property
     def solver(self):

@@ -73,3 +73,55 @@ def test_anchored_state_has_smallest_uncertainty(solved_problem):
     tr = np.trace(np.asarray(mc["state"]), axis1=-2, axis2=-1)
     # state 0 carries the strong prior: it must be the most certain
     assert np.argmin(tr) == 0
+
+
+# ---------------------------------------------------------------- supernodal
+# Takahashi selected inverse over the supernodal level schedules (S12 for
+# general graphs: loop closures, mixed block sizes)
+
+
+@pytest.fixture(scope="module")
+def lc_solved():
+    from gpslam_tpu.models import pose2_slam
+    from gpslam_tpu.ops.supernodal import SupernodalSolver
+
+    data = synthetic.make_se2_pose_graph(n_states=60, seed=4)
+    assert data["lc_i"].shape[0] > 0
+    graph, values = pose2_slam.build(data, dtype=jnp.float64)
+    sn = SupernodalSolver(graph, values)
+    vals, _ = lm_solve(graph, values, LMConfig(), solver=sn.solver)
+    return graph, vals
+
+
+def test_supernodal_marginals_match_dense(lc_solved):
+    graph, vals = lc_solved
+    ms = marginals.supernodal_marginals(graph, vals, amalgamate=False)
+    md = marginals.dense_marginals(graph, vals)
+    for g in md:
+        np.testing.assert_allclose(
+            np.asarray(ms[g]), np.asarray(md[g]), atol=1e-8, err_msg=g
+        )
+
+
+def test_amalgamated_marginals_match_dense(lc_solved):
+    graph, vals = lc_solved
+    ms = marginals.supernodal_marginals(graph, vals, amalgamate=True, w_max=3)
+    md = marginals.dense_marginals(graph, vals)
+    for g in md:
+        np.testing.assert_allclose(
+            np.asarray(ms[g]), np.asarray(md[g]), atol=1e-8, err_msg=g
+        )
+
+
+def test_supernodal_marginals_mixed_blocks():
+    """Pose (dim 4) + landmark (dim 2) groups through block padding."""
+    data = synthetic.make_linear2d_range_slam(n_states=18, seed=5)
+    graph, values = linear2d.build(data, dtype=jnp.float64)
+    solver = chain.make_chain_solver(graph)
+    vals, _ = lm_solve(graph, values, LMConfig(), solver=solver)
+    ms = marginals.supernodal_marginals(graph, vals, amalgamate=True)
+    md = marginals.dense_marginals(graph, vals)
+    for g in md:
+        np.testing.assert_allclose(
+            np.asarray(ms[g]), np.asarray(md[g]), atol=1e-8, err_msg=g
+        )
