@@ -50,3 +50,4 @@ from .solve import (  # noqa: E402,F401
     make_dense_solver,
 )
 from .graph import GraphBuilder, manifolds  # noqa: E402,F401
+from . import query  # noqa: E402,F401  post-solve trajectory queries (§3.4)

@@ -69,6 +69,46 @@ def tridiag_selected_inverse(D, U):
     return Sigma, P
 
 
+def tridiag_cross_covariances(Sigma, P, U):
+    """Adjacent off-diagonal blocks Sigma_{i,i+1} of the selected inverse:
+    Sigma_{i,i+1} = -P_i^{-1} U_i Sigma_{i+1,i+1} (Takahashi companion to the
+    backward recurrence). Returns (N-1, b, b)."""
+    return -_inv_psd(P[:-1]) @ U[:-1] @ Sigma[1:]
+
+
+def chain_joint_marginals(graph, values, state_group: str = "state",
+                          lm_group: Optional[str] = "landmark"):
+    """Chain marginals PLUS adjacent joint blocks: returns
+    (Sigma_diag (N, b, b), Sigma_cross (N-1, b, b)[, Sigma_lm]) — the joint
+    covariance of each bracketing state pair, which is exactly what posterior
+    interpolation at arbitrary times needs (query.py).
+    Both include the landmark arrowhead correction."""
+    if lm_group is not None and lm_group not in graph.manifolds:
+        lm_group = None
+    roles = chain_ops.build_role_table(graph, state_group, lm_group)
+    lins = graphlib.linearize(graph, values)
+    D, U, g_s, H_sl, H_ll, g_l = chain_ops.assemble_chain(
+        graph, lins, values, roles, state_group, lm_group
+    )
+    Sigma, P = tridiag_selected_inverse(D, U)
+    cross = tridiag_cross_covariances(Sigma, P, U)
+    if lm_group is None:
+        return Sigma, cross, None
+
+    from .ops.tridiag import bcr_solve
+
+    Y = bcr_solve(D, U, H_sl)  # (N, b, P) = H_ss^{-1} H_sl
+    Sc = H_ll - jnp.einsum("nbp,nbq->pq", H_sl, Y)
+    Sc_inv = _inv_psd(Sc)
+    Sigma = Sigma + jnp.einsum("nbp,pq,ncq->nbc", Y, Sc_inv, Y)
+    cross = cross + jnp.einsum("nbp,pq,ncq->nbc", Y[:-1], Sc_inv, Y[1:])
+    dl = graph.manifolds[lm_group].dim
+    Lm = Sc.shape[0] // dl
+    Sll = Sc_inv.reshape(Lm, dl, Lm, dl)
+    Sll_diag = jnp.stack([Sll[i, :, i, :] for i in range(Lm)], 0)
+    return Sigma, cross, Sll_diag
+
+
 def chain_marginals(graph, values, state_group: str = "state",
                     lm_group: Optional[str] = "landmark"):
     """Marginal covariances for every chain state (and landmark) at `values`.

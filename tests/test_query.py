@@ -1,0 +1,165 @@
+"""Post-solve trajectory queries (reference call stack §3.4): mean
+interpolation at arbitrary times + exact Laplace posterior covariance.
+
+The load-bearing test is REFINEMENT PARITY: inserting the query time as an
+actual chain knot (with the single GP prior split into two — exact by the
+Markov property) must reproduce the coarse problem's queried mean and
+covariance bit-for-bit up to solver tolerance.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpslam_tpu import marginals, query
+from gpslam_tpu.config import LMConfig
+from gpslam_tpu.factors import gp_priors, measurements
+from gpslam_tpu.graph import GraphBuilder, manifolds
+from gpslam_tpu.solve import lm_solve, make_dense_solver
+
+RNG = np.random.default_rng(7)
+QC = 0.7
+D = 2
+
+
+def build_chain(knot_times, meas, dtype=jnp.float64):
+    """Linear-WNOA chain with knots at `knot_times` and full-state Gaussian
+    priors `meas` = [(knot index, mu (2D,), sigma)]."""
+    knot_times = np.asarray(knot_times, float)
+    n = len(knot_times)
+    b = GraphBuilder()
+    b.add_group("state", manifolds.linear_state(D))
+    dts = np.diff(knot_times)
+    qsi = np.eye(D) / math.sqrt(QC)
+    b.add_factors(
+        "gp_prior", gp_priors.gp_prior_linear, ("state", "state"),
+        (np.arange(n - 1), np.arange(1, n)),
+        {"dt": jnp.asarray(dts, dtype),
+         "qc_sqrt_info": jnp.asarray(np.broadcast_to(qsi, (n - 1, D, D)),
+                                     dtype)},
+        rdim=2 * D,
+    )
+    idx = np.asarray([m[0] for m in meas], np.int32)
+    mus = np.stack([m[1] for m in meas])
+    sqi = np.stack([np.eye(2 * D) / m[2] for m in meas])
+    b.add_factors(
+        "prior", measurements.prior_linear_state, ("state",), (idx,),
+        {"mu": jnp.asarray(mus, dtype), "sqrt_info": jnp.asarray(sqi, dtype)},
+        rdim=2 * D,
+    )
+    values = {"state": (jnp.zeros((n, D), dtype), jnp.zeros((n, D), dtype))}
+    return b.build(), values
+
+
+COARSE_T = np.arange(7.0)
+MEAS = [
+    (0, np.array([0.0, 0.0, 1.0, 0.5]), 0.05),
+    (2, np.array([2.1, 0.9, 1.0, 0.4]), 0.3),
+    (5, np.array([4.8, 2.6, 0.8, 0.6]), 0.2),
+]
+
+
+@pytest.fixture(scope="module")
+def coarse_solved():
+    graph, values = build_chain(COARSE_T, MEAS)
+    vals, st = lm_solve(graph, values, LMConfig(),
+                        solver=make_dense_solver(False))
+    assert bool(st.converged)
+    return graph, vals
+
+
+def test_tridiag_cross_matches_dense():
+    n, b = 8, 4
+    Dd = RNG.normal(size=(n, b, b))
+    Dd = Dd @ Dd.transpose(0, 2, 1) + (4 + b) * np.eye(b)[None]
+    U = 0.7 * RNG.normal(size=(n, b, b))
+    U[-1] = 0
+    Sigma, P = marginals.tridiag_selected_inverse(jnp.asarray(Dd),
+                                                  jnp.asarray(U))
+    cross = marginals.tridiag_cross_covariances(Sigma, P, jnp.asarray(U))
+    H = np.zeros((n * b, n * b))
+    for i in range(n):
+        H[i*b:(i+1)*b, i*b:(i+1)*b] = Dd[i]
+        if i + 1 < n:
+            H[i*b:(i+1)*b, (i+1)*b:(i+2)*b] = U[i]
+            H[(i+1)*b:(i+2)*b, i*b:(i+1)*b] = U[i].T
+    Hinv = np.linalg.inv(H)
+    for i in range(n - 1):
+        np.testing.assert_allclose(
+            np.asarray(cross[i]), Hinv[i*b:(i+1)*b, (i+1)*b:(i+2)*b],
+            atol=1e-10,
+        )
+
+
+def test_query_mean_at_knots_reproduces_states(coarse_solved):
+    graph, vals = coarse_solved
+    kt = jnp.asarray(COARSE_T)
+    x, v = query.query_linear(vals["state"], kt, kt)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(vals["state"][0]),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vals["state"][1]),
+                               atol=1e-12)
+
+
+def test_query_posterior_at_knots_matches_marginals(coarse_solved):
+    graph, vals = coarse_solved
+    kt = jnp.asarray(COARSE_T)
+    _, Sig = query.query_posterior_linear(graph, vals, kt, kt, QC,
+                                          lm_group=None)
+    mc = marginals.chain_marginals(graph, vals, lm_group=None)["state"]
+    np.testing.assert_allclose(np.asarray(Sig), np.asarray(mc), atol=1e-9)
+
+
+def test_query_refinement_parity(coarse_solved):
+    """Insert tau as a real knot in a refined problem: the dense marginal
+    there must equal the coarse problem's queried posterior (Markov GP)."""
+    graph_c, vals_c = coarse_solved
+    tau_star = 3.37
+    fine_t = np.sort(np.append(COARSE_T, tau_star))
+    k_new = int(np.searchsorted(fine_t, tau_star))
+    meas_f = [(int(np.searchsorted(fine_t, COARSE_T[j])), m, s)
+              for (j, m, s) in MEAS]
+    graph_f, values_f = build_chain(fine_t, meas_f)
+    vals_f, st = lm_solve(graph_f, values_f, LMConfig(),
+                          solver=make_dense_solver(False))
+    assert bool(st.converged)
+
+    t_q = jnp.asarray([tau_star])
+    (x_q, v_q), Sig_q = query.query_posterior_linear(
+        graph_c, vals_c, t_q, jnp.asarray(COARSE_T), QC, lm_group=None
+    )
+    np.testing.assert_allclose(np.asarray(x_q[0]),
+                               np.asarray(vals_f["state"][0][k_new]),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_q[0]),
+                               np.asarray(vals_f["state"][1][k_new]),
+                               atol=1e-9)
+    md = marginals.dense_marginals(graph_f, vals_f)["state"][k_new]
+    np.testing.assert_allclose(np.asarray(Sig_q[0]), np.asarray(md),
+                               atol=1e-8)
+
+
+def test_query_se2_se3_knot_reproduction():
+    from gpslam_tpu.lie import se2, se3
+
+    n = 5
+    kt = jnp.asarray(np.arange(float(n)))
+    T = jnp.asarray(RNG.normal(size=(n, 3)) * 0.5)
+    w = jnp.asarray(RNG.normal(size=(n, 3)) * 0.3)
+    pose, vel = query.query_se2((T, w), kt, kt)
+    # poses equal up to SE(2) local coordinates
+    np.testing.assert_allclose(
+        np.asarray(se2.local_coordinates(pose, T)), 0.0, atol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(vel), np.asarray(w), atol=1e-10)
+
+    xi = RNG.normal(size=(n, 6)) * 0.4
+    R, t = se3.exp(jnp.asarray(xi))
+    w6 = jnp.asarray(RNG.normal(size=(n, 6)) * 0.3)
+    (Rq, tq), velq = query.query_se3(((R, t), w6), kt, kt)
+    np.testing.assert_allclose(
+        np.asarray(se3.local_coordinates(Rq, tq, R, t)), 0.0, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(velq), np.asarray(w6), atol=1e-9)
