@@ -31,6 +31,26 @@ def init_distributed(coordinator_address=None, num_processes=None,
         pass  # already initialized, or single-process run without coordinator
 
 
+def global_put(tree, mesh: Mesh, specs):
+    """Commit a host-replicated pytree to its GLOBAL mesh sharding.
+
+    `specs` is a pytree of PartitionSpec matching `tree` (the same object
+    passed to shard_map's in_specs). Multi-process runs (N >= 2 hosts,
+    SURVEY.md §5.8a) require inputs to be globally-committed jax.Arrays —
+    every process holds the full host value and contributes its addressable
+    shards. Single-process this is a no-op (jit commits inputs itself).
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, PartitionSpec),
+    )
+    return jax.device_put(tree, sh)
+
+
 def make_mesh(n_devices: int | None = None, axis_name: str = "factor") -> Mesh:
     """1-D mesh over the first n_devices (default: all) local devices."""
     devs = jax.devices()

@@ -30,6 +30,7 @@ from ..graph import graph as graphlib
 from ..graph.graph import FactorBatch, Graph
 from ..ops import chain as chain_ops
 from ..ops import tridiag
+from . import mesh as make_mesh_mod
 from .mesh import make_mesh
 
 
@@ -90,6 +91,8 @@ def lm_solve_sharded(
 
     graph_specs = jax.tree_util.tree_map(lambda _: P(axis_name), gp)
     values_specs = jax.tree_util.tree_map(lambda _: P(), values0)
+    gp = make_mesh_mod.global_put(gp, mesh, graph_specs)
+    values0 = make_mesh_mod.global_put(values0, mesh, values_specs)
 
     @functools.partial(
         jax.shard_map,

@@ -183,6 +183,10 @@ def lm_solve_supernodal_sharded(
 
     graph_specs = jax.tree_util.tree_map(lambda _: P(axis_name), gp)
     values_specs = jax.tree_util.tree_map(lambda _: P(), values0)
+    from .mesh import global_put
+
+    gp = global_put(gp, mesh, graph_specs)
+    values0 = global_put(values0, mesh, values_specs)
 
     @functools.partial(
         jax.shard_map,

@@ -283,8 +283,11 @@ def lm_solve_time_sharded(
         )
         for g, v in values0.items()
     }
+    from .mesh import global_put
     from .solve import _stats_struct
 
+    gp = global_put(gp, mesh, graph_specs)
+    values0 = global_put(values0, mesh, values_specs)
     out_specs = (values_specs, jax.tree_util.tree_map(
         lambda _: P(), _stats_struct(config, dtype)))
 
