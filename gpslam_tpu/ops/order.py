@@ -56,6 +56,17 @@ def _load_native(name: str = "md_order") -> Optional[ctypes.CDLL]:
             lib.symbolic_factor.argtypes = (
                 [ctypes.c_int64] + [_I64P] * 6 + [ctypes.c_int64]
             )
+        elif name == "fastload":
+            _F64PP = ctypes.POINTER(ctypes.POINTER(ctypes.c_double))
+            lib.fl_count.restype = ctypes.c_int
+            lib.fl_count.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, _I64P,
+            ]
+            lib.fl_fill.restype = ctypes.c_int
+            lib.fl_fill.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int64, _F64PP, _I64P,
+            ]
         _LIBS[name] = lib
     except OSError:
         return None

@@ -94,3 +94,51 @@ TD 0.5 0 7.07
     assert d["gt"].shape == (2, 4)
     assert d["landmarks"].shape == (1, 3)
     assert d["ranges"].shape == (1, 3)
+
+
+SE3_TXT = """\
+VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1
+VERTEX_SE3:QUAT 1 1 0 0 0 0 0.0998334 0.9950042
+EDGE_SE3:QUAT 0 1 1 0 0 0 0 0.0998334 0.9950042 \
+100 2 0 0 0 0 100 0 0 0 0 100 0 0 0 400 3 0 400 0 400
+"""
+
+PLAZA_TXT = """\
+GT 0.0 0.0 0.0 0.0
+GT 1.0 1.0 0.0 0.0
+DR 1.0 1.0 0.0 0.0
+TL 0 5.0 5.0
+TD 0.5 0 7.07
+"""
+
+
+def test_native_loader_available_and_matches_python(tmp_path, monkeypatch):
+    """native/fastload.cpp path must be live on this machine AND bit-agree
+    with the pure-Python fallback on every format."""
+    assert formats._native_records(__file__, ("nope",)) is not None, \
+        "native fastload library failed to compile/load"
+
+    files = {
+        "g2.g2o": (G2O_2D, formats.load_g2o_se2),
+        "t.graph": (
+            "VERTEX2 0 0.0 0.0 0.0\nVERTEX2 1 1.0 0.0 0.1\n"
+            "EDGE2 0 1 1.0 0.0 0.1 100.0 1.0 100.0 400.0 2.0 3.0\n",
+            formats.load_toro_se2,
+        ),
+        "g3.g2o": (SE3_TXT, formats.load_g2o_se3),
+        "plaza.txt": (PLAZA_TXT, formats.load_plaza),
+    }
+    for name, (txt, loader) in files.items():
+        p = tmp_path / name
+        p.write_text(txt)
+        d_native = loader(str(p))
+        monkeypatch.setattr(formats, "_native_records",
+                            lambda *a, **k: None)
+        d_py = loader(str(p))
+        monkeypatch.undo()
+        assert set(d_native) == set(d_py), name
+        for k in d_py:
+            np.testing.assert_allclose(
+                np.asarray(d_native[k], float), np.asarray(d_py[k], float),
+                atol=1e-12, err_msg=f"{name}:{k}",
+            )
