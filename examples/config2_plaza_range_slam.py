@@ -57,6 +57,21 @@ def main():
     print(f"trajectory RMSE {rmse:.3f} m; landmark errors "
           f"{np.linalg.norm(np.asarray(vals['landmark']) - data['landmarks_gt'], axis=1).round(3)}")
 
+    # continuous-time payoff (reference §3.4): query the posterior at times
+    # BETWEEN the estimation knots — mean and full Laplace covariance
+    from gpslam_tpu import query
+
+    dt_knot = float(data["dt"])
+    kt = jnp.asarray(np.arange(n) * dt_knot, jnp.float32)
+    tq = jnp.asarray((np.arange(8) + 0.37) * dt_knot * (n // 9), jnp.float32)
+    (xq, vq), Sq = query.query_posterior_linear(
+        graph, vals, tq, kt, float(data["qc"])
+    )
+    sd = np.sqrt(np.asarray(jnp.diagonal(Sq, axis1=-2, axis2=-1))[:, :2])
+    for i in range(len(tq)):
+        print(f"  t={float(tq[i]):8.2f}s  p=({float(xq[i,0]):7.2f}, "
+              f"{float(xq[i,1]):7.2f}) m  1-sigma=({sd[i,0]:.3f}, {sd[i,1]:.3f}) m")
+
 
 if __name__ == "__main__":
     main()
