@@ -57,6 +57,24 @@ def main(n_states=600, w_max=0):
     print(f"numeric factorization: {per*1e3:.2f} ms "
           f"({flops/per/1e9:.1f} GFLOP/s, {flops/1e6:.1f} MFLOP/pass)")
 
+    # selected inverse (marginal covariances, S12) over the same schedules
+    L = sn.factorize(blocks)
+
+    @jax.jit
+    def run_sel(L):
+        def body(i, acc):
+            S = sn.selected_inverse(L + acc * 1e-12)
+            return acc + jnp.sum(S[0])
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
+
+    float(run_sel(L))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_sel(L))
+        best = min(best, time.perf_counter() - t0)
+    print(f"selected inverse (all marginals): {best/REPS*1e3:.2f} ms")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 600,

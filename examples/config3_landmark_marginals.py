@@ -45,6 +45,17 @@ def main():
     consistent = (lm_err < 3.0 * lm_sig + 1e-3).mean()
     print(f"landmarks within 3-sigma: {100 * consistent:.0f}%")
 
+    # cross-check: the general-graph path (blocked Takahashi selected
+    # inverse over the amalgamated supernodal schedules) must agree with the
+    # chain+arrowhead recurrences above
+    cov_sn = marginals.supernodal_marginals(graph, vals)
+    dmax = max(
+        float(np.abs(np.asarray(cov_sn[g]) - np.asarray(cov[g])).max())
+        for g in cov
+    )
+    print(f"supernodal selected-inverse vs chain recurrences: "
+          f"max|diff| = {dmax:.2e}")
+
 
 if __name__ == "__main__":
     main()

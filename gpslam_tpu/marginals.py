@@ -140,6 +140,30 @@ def chain_marginals(graph, values, state_group: str = "state",
     return {state_group: Sigma_ss + corr, lm_group: Sigma_ll_diag}
 
 
+def auto_marginals(graph, values, state_group: str = "state",
+                   lm_group: Optional[str] = "landmark"):
+    """GTSAM `Marginals`-equivalent entry point: per-variable tangent
+    covariances with automatic backend selection (mirrors solve.auto):
+    chain+arrowhead recurrences when the graph is a GP chain, otherwise the
+    supernodal selected inverse, dense for tiny graphs."""
+    from .ops import chain as chain_ops_mod
+
+    try:
+        chain_ops_mod.build_role_table(
+            graph, state_group,
+            lm_group if lm_group in graph.manifolds else None)
+        return chain_marginals(graph, values, state_group, lm_group)
+    except (ValueError, KeyError):
+        pass
+    total_tangent = sum(
+        jax.tree_util.tree_leaves(v)[0].shape[0] * graph.manifolds[g].dim
+        for g, v in values.items()
+    )
+    if total_tangent <= 300:
+        return dense_marginals(graph, values)
+    return supernodal_marginals(graph, values)
+
+
 def supernodal_marginals(graph, values, solver=None, amalgamate: bool = True,
                          w_max: int = 4):
     """Marginal covariances for ARBITRARY sparse graphs (loop-closure pose

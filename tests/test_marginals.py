@@ -125,3 +125,21 @@ def test_supernodal_marginals_mixed_blocks():
         np.testing.assert_allclose(
             np.asarray(ms[g]), np.asarray(md[g]), atol=1e-8, err_msg=g
         )
+
+
+def test_auto_marginals_dispatch(lc_solved, solved_problem):
+    # chain problem -> chain recurrences
+    graph_c, vals_c = solved_problem
+    ma = marginals.auto_marginals(graph_c, vals_c)
+    mc = marginals.chain_marginals(graph_c, vals_c)
+    for g in mc:
+        np.testing.assert_allclose(np.asarray(ma[g]), np.asarray(mc[g]),
+                                   atol=1e-12)
+    # loop-closure pose graph (240-dim tangent) -> dense (tiny) per heuristic;
+    # must agree with the supernodal path regardless of which is chosen
+    graph_l, vals_l = lc_solved
+    ml = marginals.auto_marginals(graph_l, vals_l)
+    ms = marginals.supernodal_marginals(graph_l, vals_l)
+    for g in ms:
+        np.testing.assert_allclose(np.asarray(ml[g]), np.asarray(ms[g]),
+                                   atol=1e-8)
