@@ -24,13 +24,10 @@ def _gamma_coeffs(dt, tau):
     return L, S
 
 
-def interp_se2(Ti, wi, Tj, wj, dt, tau):
-    """SE(2) WNOA interpolation: returns (pose(tau), body velocity(tau)).
-
-    gamma_i = [0; w_i], gamma_j = [xi; Jr(xi)^{-1} w_j],
-    xi(tau) = row0(Lambda) gamma_i + row0(Psi) gamma_j,
-    T(tau) = T_i Exp(xi(tau)); w(tau) = Jr(xi(tau)) @ row1-combination.
-    """
+def gamma_se2(Ti, wi, Tj, wj, dt, tau):
+    """Interpolated local coordinates (xi(tau), u(tau)) on SE(2):
+    gamma_i = [0; w_i], gamma_j = [xi_rel; Jr(xi_rel)^{-1} w_j],
+    gamma(tau) = Lambda gamma_i + Psi gamma_j."""
     L, S = _gamma_coeffs(dt, tau)
     xr = se2.local_coordinates(Ti, Tj)
     gj_v = se2.right_jacobian_inv(xr) @ wj
@@ -40,13 +37,22 @@ def interp_se2(Ti, wi, Tj, wj, dt, tau):
     u_tau = (
         L[..., 1, 1, None] * wi + S[..., 1, 0, None] * xr + S[..., 1, 1, None] * gj_v
     )
+    return xi_tau, u_tau
+
+
+def interp_se2(Ti, wi, Tj, wj, dt, tau):
+    """SE(2) WNOA interpolation: returns (pose(tau), body velocity(tau)).
+
+    T(tau) = T_i Exp(xi(tau)); w(tau) = Jr(xi(tau)) @ u(tau).
+    """
+    xi_tau, u_tau = gamma_se2(Ti, wi, Tj, wj, dt, tau)
     pose = se2.compose(Ti, se2.exp(xi_tau))
     vel = se2.right_jacobian(xi_tau) @ u_tau
     return pose, vel
 
 
-def interp_se3(Ri, ti, wi, Rj, tj, wj, dt, tau):
-    """SE(3) WNOA interpolation: returns ((R, t)(tau), body twist(tau))."""
+def gamma_se3(Ri, ti, wi, Rj, tj, wj, dt, tau):
+    """Interpolated local coordinates (xi(tau), u(tau)) on SE(3)."""
     L, S = _gamma_coeffs(dt, tau)
     xr = se3.local_coordinates(Ri, ti, Rj, tj)
     gj_v = se3.right_jacobian_inv(xr) @ wj
@@ -56,6 +62,12 @@ def interp_se3(Ri, ti, wi, Rj, tj, wj, dt, tau):
     u_tau = (
         L[..., 1, 1, None] * wi + S[..., 1, 0, None] * xr + S[..., 1, 1, None] * gj_v
     )
+    return xi_tau, u_tau
+
+
+def interp_se3(Ri, ti, wi, Rj, tj, wj, dt, tau):
+    """SE(3) WNOA interpolation: returns ((R, t)(tau), body twist(tau))."""
+    xi_tau, u_tau = gamma_se3(Ri, ti, wi, Rj, tj, wj, dt, tau)
     R, t = se3.compose(Ri, ti, *se3.exp(xi_tau))
     vel = se3.right_jacobian(xi_tau) @ u_tau
     return (R, t), vel

@@ -28,8 +28,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .factors.interpolate import interp_se2, interp_se3
+from .factors.interpolate import gamma_se2, gamma_se3, interp_se2, interp_se3
 from .gp import wnoa, wnoj
+from .lie import se2 as se2_mod
+from .lie import se3 as se3_mod
 from . import marginals as marginals_mod
 
 
@@ -124,3 +126,112 @@ def query_posterior_linear(graph, values, times, knot_times, qc,
     Sigma_tau = 0.5 * (Sigma_tau + jnp.swapaxes(Sigma_tau, -1, -2))
     assert Sigma_tau.shape[-1] == b
     return mean, Sigma_tau
+
+
+def _joint_support_cov(graph, values, k, state_group, lm_group):
+    Sigma, cross, _ = marginals_mod.chain_joint_marginals(
+        graph, values, state_group, lm_group
+    )
+    Sij = cross[k]
+    top = jnp.concatenate([Sigma[k], Sij], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(Sij, -1, -2), Sigma[k + 1]], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)  # (M, 2b, 2b)
+
+
+def _query_posterior_lie(lie, gamma_fn, interp_fn, unpack, pack,
+                         graph, values, times, knot_times, qc,
+                         state_group, lm_group):
+    """Shared SE(2)/SE(3) posterior query: tangent covariance at tau is
+
+        Sigma(tau) = A Sigma_supp A^T + B (P_cond (x) Qc) B^T
+
+    with A = d(interp)/d(support tangents) by forward AD at the retraction
+    zero, and B = blkdiag(Jr(xi_tau), Jr(xi_tau)) mapping the GP bridge's
+    conditional gamma-noise into the output tangent (first order in the
+    bridge perturbation — the same approximation order the reference's
+    Lie-group factors use, SURVEY.md §2.3)."""
+    d = 3 if lie is se2_mod else 6
+    state = values[state_group]
+    k, tau, dtk = locate(knot_times, times)
+    Pi, wi, Pj, wj = unpack(state, k)
+    mean_pose, mean_vel = jax.vmap(interp_fn)(*pack(Pi, wi, Pj, wj), dtk, tau)
+    dtype = tau.dtype
+    Qc = (jnp.asarray(qc, dtype) * jnp.eye(d, dtype=dtype)
+          if jnp.ndim(qc) == 0 else jnp.asarray(qc, dtype))
+
+    def f(ei, ej, Pi, wi, Pj, wj, dtk_, tau_, mp, mv):
+        Pi2 = _retract(lie, Pi, ei[:d])
+        Pj2 = _retract(lie, Pj, ej[:d])
+        pose, vel = interp_fn(*pack(Pi2, wi + ei[d:], Pj2, wj + ej[d:]),
+                              dtk_, tau_)
+        return jnp.concatenate([_local(lie, mp, pose), vel - mv])
+
+    z = jnp.zeros((2 * d,), dtype)
+    Hi, Hj = jax.vmap(
+        jax.jacfwd(f, argnums=(0, 1)),
+        in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0),
+    )(z, z, Pi, wi, Pj, wj, dtk, tau, mean_pose, mean_vel)
+    A = jnp.concatenate([Hi, Hj], axis=-1)  # (M, 2d, 4d)
+    Ssupp = _joint_support_cov(graph, values, k, state_group, lm_group)
+    Sigma_tau = A @ Ssupp @ jnp.swapaxes(A, -1, -2)
+
+    L, S = wnoa.lambda_psi_coeffs(dtk, tau)
+    Pcond = wnoa.q_coeff(tau) - S @ wnoa.phi_coeff(dtk - tau) @ wnoa.q_coeff(tau)
+    xi_tau, _ = jax.vmap(gamma_fn)(*pack(Pi, wi, Pj, wj), dtk, tau)
+    Jr = lie.right_jacobian(xi_tau)  # (M, d, d)
+    B = jnp.zeros((*Jr.shape[:-2], 2 * d, 2 * d), dtype)
+    B = B.at[..., :d, :d].set(Jr).at[..., d:, d:].set(Jr)
+    Sigma_tau = Sigma_tau + B @ _kron(Pcond, Qc) @ jnp.swapaxes(B, -1, -2)
+    Sigma_tau = 0.5 * (Sigma_tau + jnp.swapaxes(Sigma_tau, -1, -2))
+    return (mean_pose, mean_vel), Sigma_tau
+
+
+def _retract(lie, P, delta):
+    if lie is se2_mod:
+        return se2_mod.retract(P, delta)
+    return se3_mod.retract(*P, delta)
+
+
+def _local(lie, a, b):
+    if lie is se2_mod:
+        return se2_mod.local_coordinates(a, b)
+    return se3_mod.local_coordinates(*a, *b)
+
+
+def query_posterior_se2(graph, values, times, knot_times, qc,
+                        state_group: str = "state",
+                        lm_group: Optional[str] = "landmark"):
+    """Posterior mean AND tangent-space covariance at arbitrary times on an
+    SE(2) GP chain. Returns ((pose, vel), Sigma_tau (M, 6, 6)); tangent
+    ordering [pose (3); vel (3)] matching the chain marginals. Exact at knot
+    times (reproduces the knot marginals); first-order in the GP bridge
+    between knots."""
+
+    def unpack(state, k):
+        T, w = state
+        return T[k], w[k], T[k + 1], w[k + 1]
+
+    def pack(Pi, wi, Pj, wj):
+        return (Pi, wi, Pj, wj)
+
+    return _query_posterior_lie(se2_mod, gamma_se2, interp_se2, unpack, pack,
+                                graph, values, times, knot_times, qc,
+                                state_group, lm_group)
+
+
+def query_posterior_se3(graph, values, times, knot_times, qc,
+                        state_group: str = "state",
+                        lm_group: Optional[str] = "landmark"):
+    """SE(3) version of query_posterior_se2: ((pose=(R, t), twist),
+    Sigma_tau (M, 12, 12)), tangent ordering [pose (6); twist (6)]."""
+
+    def unpack(state, k):
+        (R, t), w = state
+        return (R[k], t[k]), w[k], (R[k + 1], t[k + 1]), w[k + 1]
+
+    def pack(Pi, wi, Pj, wj):
+        return (*Pi, wi, *Pj, wj)
+
+    return _query_posterior_lie(se3_mod, gamma_se3, interp_se3, unpack, pack,
+                                graph, values, times, knot_times, qc,
+                                state_group, lm_group)

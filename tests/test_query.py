@@ -163,3 +163,129 @@ def test_query_se2_se3_knot_reproduction():
         np.asarray(se3.local_coordinates(Rq, tq, R, t)), 0.0, atol=1e-9
     )
     np.testing.assert_allclose(np.asarray(velq), np.asarray(w6), atol=1e-9)
+
+
+# --------------------------------------------------------------- Lie chains
+def _build_se2_chain(n=12, dtype=jnp.float64, seed=2):
+    """SE(2) GP chain (no loop closures): strong prior on state 0, WNOA GP
+    priors, noisy odometry between consecutive poses."""
+    from gpslam_tpu.factors import gp_priors as gp_f
+    from gpslam_tpu.factors import measurements as meas
+    from gpslam_tpu.graph import GraphBuilder, manifolds
+    from gpslam_tpu.lie import se2
+
+    rng = np.random.default_rng(seed)
+    dt = 1.0
+    qc = 0.4
+    T_gt = np.zeros((n, 3))
+    for i in range(1, n):
+        T_gt[i] = np.asarray(
+            se2.compose(jnp.asarray(T_gt[i - 1]),
+                        jnp.asarray([1.0, 0.1, 0.15]))
+        )
+    b = GraphBuilder()
+    b.add_group("state", manifolds.se2_state())
+    b.add_factors(
+        "prior", meas.prior_se2_state, ("state",),
+        (np.zeros((1,), np.int32),),
+        {"mu_pose": jnp.asarray(T_gt[None, 0], dtype),
+         "mu_vel": jnp.asarray(np.array([[1.0, 0.1, 0.15]]), dtype),
+         "sqrt_info": jnp.asarray((np.eye(6) / 0.01)[None], dtype)},
+        rdim=6,
+    )
+    b.add_factors(
+        "gp_prior", gp_f.gp_prior_se2, ("state", "state"),
+        (np.arange(n - 1), np.arange(1, n)),
+        {"dt": jnp.full((n - 1,), dt, dtype),
+         "qc_sqrt_info": jnp.asarray(
+             np.broadcast_to(np.eye(3) / np.sqrt(qc), (n - 1, 3, 3)), dtype)},
+        rdim=6,
+    )
+    z = np.stack([
+        np.asarray(se2.local_coordinates(jnp.asarray(T_gt[i]),
+                                         jnp.asarray(T_gt[i + 1])))
+        for i in range(n - 1)
+    ]) + 0.03 * rng.normal(size=(n - 1, 3))
+    b.add_factors(
+        "odometry", meas.between_se2, ("state", "state"),
+        (np.arange(n - 1), np.arange(1, n)),
+        {"z": jnp.asarray(z, dtype),
+         "sqrt_info": jnp.asarray(
+             np.broadcast_to(np.eye(3) / 0.05, (n - 1, 3, 3)), dtype)},
+        rdim=3,
+    )
+    init = {
+        "state": (
+            jnp.asarray(T_gt + 0.05 * rng.normal(size=(n, 3)), dtype),
+            jnp.asarray(np.tile([1.0, 0.1, 0.15], (n, 1))
+                        + 0.05 * rng.normal(size=(n, 3)), dtype),
+        )
+    }
+    return b.build(), init, qc, dt
+
+
+@pytest.fixture(scope="module")
+def se2_chain_solved():
+    graph, values, qc, dt = _build_se2_chain()
+    vals, st = lm_solve(graph, values, LMConfig(),
+                        solver=make_dense_solver(False))
+    assert bool(st.converged)
+    return graph, vals, qc, dt
+
+
+def test_query_posterior_se2_at_knots_matches_marginals(se2_chain_solved):
+    graph, vals, qc, dt = se2_chain_solved
+    n = vals["state"][0].shape[0]
+    kt = jnp.asarray(np.arange(n) * dt)
+    (pose, vel), Sig = query.query_posterior_se2(graph, vals, kt, kt, qc,
+                                                 lm_group=None)
+    from gpslam_tpu.lie import se2
+
+    np.testing.assert_allclose(
+        np.asarray(se2.local_coordinates(pose, vals["state"][0])), 0.0,
+        atol=1e-10,
+    )
+    mc = marginals.chain_marginals(graph, vals, lm_group=None)["state"]
+    np.testing.assert_allclose(np.asarray(Sig), np.asarray(mc), atol=1e-9)
+
+
+def test_query_posterior_se2_between_knots_spd_and_smooth(se2_chain_solved):
+    graph, vals, qc, dt = se2_chain_solved
+    n = vals["state"][0].shape[0]
+    kt = jnp.asarray(np.arange(n) * dt)
+    tq = jnp.asarray(np.linspace(0.05, (n - 1) * dt - 0.05, 41))
+    _, Sig = query.query_posterior_se2(graph, vals, tq, kt, qc, lm_group=None)
+    eig = np.linalg.eigvalsh(np.asarray(Sig))
+    assert (eig > 0).all()
+    # continuity at the knots: tau -> t_k recovers the knot marginal
+    mc = np.asarray(marginals.chain_marginals(graph, vals,
+                                              lm_group=None)["state"])
+    eps = 1e-7
+    t_near = jnp.asarray(np.arange(1, n - 1) * dt + eps)
+    _, Sig_near = query.query_posterior_se2(graph, vals, t_near, kt, qc,
+                                            lm_group=None)
+    np.testing.assert_allclose(np.asarray(Sig_near), mc[1:-1], atol=1e-5)
+
+
+def test_query_posterior_se3_at_knots_matches_marginals():
+    from gpslam_tpu.io import synthetic
+    from gpslam_tpu.models import pose3_slam
+
+    data = synthetic.make_se3_pose_graph(n_states=10, seed=3)
+    graph, values = pose3_slam.build(data, dtype=jnp.float64)
+    vals, st = lm_solve(graph, values, LMConfig(),
+                        solver=make_dense_solver(False))
+    n = 10
+    dt = float(data["dt"])
+    kt = jnp.asarray(np.arange(n) * dt)
+    qc = float(data["qc"])
+    ((R, t), w), Sig = query.query_posterior_se3(graph, vals, kt, kt, qc,
+                                                 lm_group=None)
+    from gpslam_tpu.lie import se3
+
+    Rs, ts = vals["state"][0]
+    np.testing.assert_allclose(
+        np.asarray(se3.local_coordinates(R, t, Rs, ts)), 0.0, atol=1e-9
+    )
+    mc = marginals.chain_marginals(graph, vals, lm_group=None)["state"]
+    np.testing.assert_allclose(np.asarray(Sig), np.asarray(mc), atol=1e-8)
