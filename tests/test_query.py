@@ -289,3 +289,63 @@ def test_query_posterior_se3_at_knots_matches_marginals():
     )
     mc = marginals.chain_marginals(graph, vals, lm_group=None)["state"]
     np.testing.assert_allclose(np.asarray(Sig), np.asarray(mc), atol=1e-8)
+
+
+# ------------------------------------------------------------------ WNOJ
+def _build_wnoj_chain(knot_times, meas, dtype=jnp.float64):
+    knot_times = np.asarray(knot_times, float)
+    n = len(knot_times)
+    b = GraphBuilder()
+    b.add_group("state", manifolds.linear_wnoj_state(D))
+    qsi = np.eye(D) / math.sqrt(QC)
+    b.add_factors(
+        "gp_prior", gp_priors.gp_prior_linear_wnoj, ("state", "state"),
+        (np.arange(n - 1), np.arange(1, n)),
+        {"dt": jnp.asarray(np.diff(knot_times), dtype),
+         "qc_sqrt_info": jnp.asarray(np.broadcast_to(qsi, (n - 1, D, D)),
+                                     dtype)},
+        rdim=3 * D,
+    )
+    idx = np.asarray([m[0] for m in meas], np.int32)
+    mus = np.stack([np.concatenate([m[1], np.zeros(D)]) for m in meas])
+    sqi = np.stack([np.eye(3 * D) / m[2] for m in meas])
+    b.add_factors(
+        "prior", measurements.prior_linear_state, ("state",), (idx,),
+        {"mu": jnp.asarray(mus, dtype), "sqrt_info": jnp.asarray(sqi, dtype)},
+        rdim=3 * D,
+    )
+    z = jnp.zeros((n, D), dtype)
+    return b.build(), {"state": (z, z, z)}
+
+
+def test_query_refinement_parity_wnoj():
+    """Order-3 (WNOJ) posterior query: same refinement-parity construction
+    as the WNOA test."""
+    tau_star = 3.37
+    graph_c, values_c = _build_wnoj_chain(COARSE_T, MEAS)
+    vals_c, st = lm_solve(graph_c, values_c, LMConfig(),
+                          solver=make_dense_solver(False))
+    assert bool(st.converged)
+    fine_t = np.sort(np.append(COARSE_T, tau_star))
+    k_new = int(np.searchsorted(fine_t, tau_star))
+    meas_f = [(int(np.searchsorted(fine_t, COARSE_T[j])), m, s)
+              for (j, m, s) in MEAS]
+    graph_f, values_f = _build_wnoj_chain(fine_t, meas_f)
+    vals_f, st_f = lm_solve(graph_f, values_f, LMConfig(),
+                            solver=make_dense_solver(False))
+    assert bool(st_f.converged)
+
+    t_q = jnp.asarray([tau_star])
+    (x_q, v_q, a_q), Sig_q = query.query_posterior_linear(
+        graph_c, vals_c, t_q, jnp.asarray(COARSE_T), QC, lm_group=None,
+        order=3,
+    )
+    np.testing.assert_allclose(np.asarray(x_q[0]),
+                               np.asarray(vals_f["state"][0][k_new]),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(a_q[0]),
+                               np.asarray(vals_f["state"][2][k_new]),
+                               atol=1e-9)
+    md = marginals.dense_marginals(graph_f, vals_f)["state"][k_new]
+    np.testing.assert_allclose(np.asarray(Sig_q[0]), np.asarray(md),
+                               atol=1e-8)
