@@ -76,6 +76,67 @@ def tridiag_cross_covariances(Sigma, P, U):
     return -_inv_psd(P[:-1]) @ U[:-1] @ Sigma[1:]
 
 
+def tridiag_cross_at(Sigma, P, U, rows, cols):
+    """ARBITRARY off-diagonal blocks Sigma_{rows[m], cols[m]} of the
+    block-tridiagonal selected inverse (the reference's JointMarginal over
+    non-adjacent variables, SURVEY.md §2.2 S12).
+
+    Uses the off-diagonal recurrence Sigma_{i,j} = G_i Sigma_{i+1,j}
+    (i < j) with gains G_i = -P_i^{-1} U_i, i.e.
+
+        Sigma_{i,j} = (prod_{l=i}^{j-1} G_l) Sigma_{j,j},      i <= j,
+
+    evaluated by one masked scan over the chain per requested pair (vmapped;
+    O(M N) small-block matmuls — intended for post-solve analysis with
+    modest M). Pairs with rows > cols return the transpose block; rows ==
+    cols returns the diagonal block. Shapes: rows/cols (M,) -> (M, b, b).
+    """
+    N, b = Sigma.shape[0], Sigma.shape[-1]
+    G = -_inv_psd(P[:-1]) @ U[:-1]  # (N-1, b, b)
+    rows = jnp.asarray(rows)
+    cols = jnp.asarray(cols)
+    lo = jnp.minimum(rows, cols)
+    hi = jnp.maximum(rows, cols)
+
+    def one(lo_m, hi_m):
+        def step(C, inputs):
+            l, G_l = inputs
+            take = (l >= lo_m) & (l < hi_m)
+            return jnp.where(take, C @ G_l, C), None
+
+        C0 = jnp.eye(b, dtype=Sigma.dtype)
+        C, _ = jax.lax.scan(step, C0, (jnp.arange(N - 1), G))
+        return C @ Sigma[hi_m]
+
+    X = jax.vmap(one)(lo, hi)  # Sigma_{lo, hi}
+    return jnp.where((rows <= cols)[:, None, None], X,
+                     jnp.swapaxes(X, -1, -2))
+
+
+def chain_selected_inverse_parts(graph, values, state_group: str = "state",
+                                 lm_group: Optional[str] = "landmark"):
+    """Raw pieces of the chain selected inverse for cross-covariance queries:
+    (Sigma_diag (N,b,b), P, U, Y, Sc_inv), with Y = H_ss^{-1} H_sl and
+    Sc_inv = (H_ll - H_sl^T Y)^{-1} the landmark-arrowhead correction
+    (Y, Sc_inv are None without landmarks). The FULL selected-inverse block
+    at (i, j) is  tridiag_cross_at(...)[m] + Y_i Sc_inv Y_j^T."""
+    if lm_group is not None and lm_group not in graph.manifolds:
+        lm_group = None
+    roles = chain_ops.build_role_table(graph, state_group, lm_group)
+    lins = graphlib.linearize(graph, values)
+    D, U, g_s, H_sl, H_ll, g_l = chain_ops.assemble_chain(
+        graph, lins, values, roles, state_group, lm_group
+    )
+    Sigma, P = tridiag_selected_inverse(D, U)
+    if lm_group is None:
+        return Sigma, P, U, None, None
+    from .ops.tridiag import bcr_solve
+
+    Y = bcr_solve(D, U, H_sl)
+    Sc = H_ll - jnp.einsum("nbp,nbq->pq", H_sl, Y)
+    return Sigma, P, U, Y, _inv_psd(Sc)
+
+
 def chain_joint_marginals(graph, values, state_group: str = "state",
                           lm_group: Optional[str] = "landmark"):
     """Chain marginals PLUS adjacent joint blocks: returns

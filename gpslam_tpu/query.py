@@ -128,6 +128,94 @@ def query_posterior_linear(graph, values, times, knot_times, qc,
     return mean, Sigma_tau
 
 
+def _pairwise_support_cov(graph, values, k, state_group, lm_group):
+    """Cross-covariances between the bracketing support pairs of ALL query
+    pairs: Ssupp (M, M, 2b, 2b) with Ssupp[a, c] = Cov([x_{k_a}; x_{k_a+1}],
+    [x_{k_c}; x_{k_c+1}]) from the selected inverse (arbitrary-gap blocks via
+    marginals.tridiag_cross_at, landmark arrowhead correction included)."""
+    Sigma, P, U, Y, Sc_inv = marginals_mod.chain_selected_inverse_parts(
+        graph, values, state_group, lm_group
+    )
+    M = k.shape[0]
+    b = Sigma.shape[-1]
+    off = jnp.asarray([0, 1])
+    # rows[a, c, p, q] = k_a + p, cols[a, c, p, q] = k_c + q
+    rows = (k[:, None, None, None] + off[None, None, :, None]
+            + jnp.zeros((1, M, 1, 2), k.dtype))
+    cols = (k[None, :, None, None] + off[None, None, None, :]
+            + jnp.zeros((M, 1, 2, 1), k.dtype))
+    X = marginals_mod.tridiag_cross_at(
+        Sigma, P, U, rows.reshape(-1), cols.reshape(-1)
+    ).reshape(M, M, 2, 2, b, b)
+    if Y is not None:
+        Yi = Y[(k[:, None] + off[None, :]).reshape(-1)].reshape(M, 2, b, -1)
+        corr = jnp.einsum("apbr,rs,cqds->acpqbd", Yi, Sc_inv, Yi)
+        X = X + corr
+    # (M, M, 2, b, 2, b) -> (M, M, 2b, 2b)
+    return jnp.swapaxes(X, 3, 4).reshape(M, M, 2 * b, 2 * b)
+
+
+def _bridge_cross_coeff(gp, tau_a, tau_c, dt, same_interval):
+    """Scalar-coefficient GP-bridge cross-covariance Cov(x(tau_a), x(tau_c) |
+    endpoints) for two query times in the SAME interval (zero otherwise —
+    bridges in disjoint intervals are conditionally independent by the
+    Markov property). For s = min(tau) <= t = max(tau):
+
+        Pcond(s, t) = C(s) P(t - s)^T - S(s) P(dt - t) C(t)
+
+    (prior-pinned cross-cov minus the endpoint conditioning; reduces to the
+    diagonal Pcond at s == t). Oriented by transposing when tau_a > tau_c.
+    """
+    s = jnp.minimum(tau_a, tau_c)
+    t = jnp.maximum(tau_a, tau_c)
+    _, S_s = gp.lambda_psi_coeffs(dt, s)
+    Pc = (gp.q_coeff(s) @ jnp.swapaxes(gp.phi_coeff(t - s), -1, -2)
+          - S_s @ gp.phi_coeff(dt - t) @ gp.q_coeff(t))
+    Pc = jnp.where(tau_a > tau_c, jnp.swapaxes(Pc, -1, -2), Pc)
+    return jnp.where(same_interval, Pc, jnp.zeros_like(Pc))
+
+
+def query_joint_posterior_linear(graph, values, times, knot_times, qc,
+                                 state_group: str = "state",
+                                 lm_group: Optional[str] = "landmark",
+                                 order: int = 2):
+    """JOINT posterior over M query times on a vector-space GP chain: the
+    reference's JointMarginal capability extended to arbitrary
+    continuous-time queries. Returns (mean_state_tuple, Sigma_joint
+    (M, M, b, b)) with Sigma_joint[a, c] = Cov(state(tau_a), state(tau_c));
+    the diagonal matches query_posterior_linear. Exact (linear-Gaussian):
+    support cross-covariances from the selected inverse + the GP-bridge
+    conditional cross term for query pairs sharing an interval."""
+    state = values[state_group]
+    mean = query_linear(state, knot_times, times, order=order)
+    d = state[0].shape[-1]
+    dtype = state[0].dtype
+    Qc = (jnp.asarray(qc, dtype) * jnp.eye(d, dtype=dtype)
+          if jnp.ndim(qc) == 0 else jnp.asarray(qc, dtype))
+    gp = wnoa if order == 2 else wnoj
+
+    k, tau, dtk = locate(knot_times, times)
+    L, S = gp.lambda_psi_coeffs(dtk, tau)
+    eye = jnp.eye(d, dtype=dtype)
+    A = jnp.concatenate([_kron(L, eye), _kron(S, eye)], axis=-1)  # (M, b, 2b)
+    Ssupp = _pairwise_support_cov(graph, values, k, state_group, lm_group)
+    Sigma = jnp.einsum("aij,acjk,clk->acil", A, Ssupp, A)
+
+    same = k[:, None] == k[None, :]
+
+    def pair_row(ta, dta, same_row):
+        return jax.vmap(
+            lambda tc, sm: _bridge_cross_coeff(gp, ta, tc, dta, sm)
+        )(tau, same_row)
+
+    Pc = jax.vmap(pair_row)(tau, dtk, same)
+    Sigma = Sigma + _kron(Pc, Qc)
+    # symmetrize: Sigma[a, c] must equal Sigma[c, a]^T
+    Sigma = 0.5 * (Sigma + jnp.swapaxes(
+        jnp.swapaxes(Sigma, 0, 1), -1, -2))
+    return mean, Sigma
+
+
 def _joint_support_cov(graph, values, k, state_group, lm_group):
     Sigma, cross, _ = marginals_mod.chain_joint_marginals(
         graph, values, state_group, lm_group
@@ -138,18 +226,12 @@ def _joint_support_cov(graph, values, k, state_group, lm_group):
     return jnp.concatenate([top, bot], axis=-2)  # (M, 2b, 2b)
 
 
-def _query_posterior_lie(lie, gamma_fn, interp_fn, unpack, pack,
-                         graph, values, times, knot_times, qc,
-                         state_group, lm_group):
-    """Shared SE(2)/SE(3) posterior query: tangent covariance at tau is
-
-        Sigma(tau) = A Sigma_supp A^T + B (P_cond (x) Qc) B^T
-
-    with A = d(interp)/d(support tangents) by forward AD at the retraction
-    zero, and B = blkdiag(Jr(xi_tau), Jr(xi_tau)) mapping the GP bridge's
-    conditional gamma-noise into the output tangent (first order in the
-    bridge perturbation — the same approximation order the reference's
-    Lie-group factors use, SURVEY.md §2.3)."""
+def _lie_query_maps(lie, gamma_fn, interp_fn, unpack, pack,
+                    values, times, knot_times, qc, state_group):
+    """Shared SE(2)/SE(3) query machinery: per-query mean, support
+    sensitivity A = d(interp)/d(support tangents) (forward AD at the
+    retraction zero), bridge map B = blkdiag(Jr(xi_tau), Jr(xi_tau)), and
+    Qc. Returns (mean, k, tau, dtk, A (M,2d,4d), B (M,2d,2d), Qc)."""
     d = 3 if lie is se2_mod else 6
     state = values[state_group]
     k, tau, dtk = locate(knot_times, times)
@@ -172,18 +254,66 @@ def _query_posterior_lie(lie, gamma_fn, interp_fn, unpack, pack,
         in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0),
     )(z, z, Pi, wi, Pj, wj, dtk, tau, mean_pose, mean_vel)
     A = jnp.concatenate([Hi, Hj], axis=-1)  # (M, 2d, 4d)
+
+    xi_tau, _ = jax.vmap(gamma_fn)(*pack(Pi, wi, Pj, wj), dtk, tau)
+    Jr = lie.right_jacobian(xi_tau)  # (M, d, d)
+    B = jnp.zeros((*Jr.shape[:-2], 2 * d, 2 * d), dtype)
+    B = B.at[..., :d, :d].set(Jr).at[..., d:, d:].set(Jr)
+    return (mean_pose, mean_vel), k, tau, dtk, A, B, Qc
+
+
+def _query_posterior_lie(lie, gamma_fn, interp_fn, unpack, pack,
+                         graph, values, times, knot_times, qc,
+                         state_group, lm_group):
+    """Shared SE(2)/SE(3) posterior query: tangent covariance at tau is
+
+        Sigma(tau) = A Sigma_supp A^T + B (P_cond (x) Qc) B^T
+
+    first order in the bridge perturbation — the same approximation order
+    the reference's Lie-group factors use (SURVEY.md §2.3)."""
+    mean, k, tau, dtk, A, B, Qc = _lie_query_maps(
+        lie, gamma_fn, interp_fn, unpack, pack,
+        values, times, knot_times, qc, state_group)
     Ssupp = _joint_support_cov(graph, values, k, state_group, lm_group)
     Sigma_tau = A @ Ssupp @ jnp.swapaxes(A, -1, -2)
 
     L, S = wnoa.lambda_psi_coeffs(dtk, tau)
     Pcond = wnoa.q_coeff(tau) - S @ wnoa.phi_coeff(dtk - tau) @ wnoa.q_coeff(tau)
-    xi_tau, _ = jax.vmap(gamma_fn)(*pack(Pi, wi, Pj, wj), dtk, tau)
-    Jr = lie.right_jacobian(xi_tau)  # (M, d, d)
-    B = jnp.zeros((*Jr.shape[:-2], 2 * d, 2 * d), dtype)
-    B = B.at[..., :d, :d].set(Jr).at[..., d:, d:].set(Jr)
     Sigma_tau = Sigma_tau + B @ _kron(Pcond, Qc) @ jnp.swapaxes(B, -1, -2)
     Sigma_tau = 0.5 * (Sigma_tau + jnp.swapaxes(Sigma_tau, -1, -2))
-    return (mean_pose, mean_vel), Sigma_tau
+    return mean, Sigma_tau
+
+
+def _query_joint_posterior_lie(lie, gamma_fn, interp_fn, unpack, pack,
+                               graph, values, times, knot_times, qc,
+                               state_group, lm_group):
+    """Shared SE(2)/SE(3) JOINT posterior over M query times:
+
+        Sigma[a, c] = A_a Cov(supp_a, supp_c) A_c^T
+                      + [k_a == k_c] B_a (Pcond(tau_a, tau_c) (x) Qc) B_c^T
+
+    — arbitrary-gap support cross blocks from the selected inverse, bridge
+    cross term only for queries sharing an interval (Markov). First order in
+    the bridge perturbation, exact at knot times."""
+    mean, k, tau, dtk, A, B, Qc = _lie_query_maps(
+        lie, gamma_fn, interp_fn, unpack, pack,
+        values, times, knot_times, qc, state_group)
+    Ssupp = _pairwise_support_cov(graph, values, k, state_group, lm_group)
+    Sigma = jnp.einsum("aij,acjk,clk->acil", A, Ssupp, A)
+
+    same = k[:, None] == k[None, :]
+
+    def pair_row(ta, dta, same_row):
+        return jax.vmap(
+            lambda tc, sm: _bridge_cross_coeff(wnoa, ta, tc, dta, sm)
+        )(tau, same_row)
+
+    Pc = jax.vmap(pair_row)(tau, dtk, same)
+    bridge = jnp.einsum("aij,acjk,clk->acil", B, _kron(Pc, Qc), B)
+    Sigma = Sigma + bridge
+    Sigma = 0.5 * (Sigma + jnp.swapaxes(
+        jnp.swapaxes(Sigma, 0, 1), -1, -2))
+    return mean, Sigma
 
 
 def _retract(lie, P, delta):
@@ -207,14 +337,8 @@ def query_posterior_se2(graph, values, times, knot_times, qc,
     times (reproduces the knot marginals); first-order in the GP bridge
     between knots."""
 
-    def unpack(state, k):
-        T, w = state
-        return T[k], w[k], T[k + 1], w[k + 1]
-
-    def pack(Pi, wi, Pj, wj):
-        return (Pi, wi, Pj, wj)
-
-    return _query_posterior_lie(se2_mod, gamma_se2, interp_se2, unpack, pack,
+    return _query_posterior_lie(se2_mod, gamma_se2, interp_se2,
+                                _unpack_se2, _pack_se2,
                                 graph, values, times, knot_times, qc,
                                 state_group, lm_group)
 
@@ -224,14 +348,50 @@ def query_posterior_se3(graph, values, times, knot_times, qc,
                         lm_group: Optional[str] = "landmark"):
     """SE(3) version of query_posterior_se2: ((pose=(R, t), twist),
     Sigma_tau (M, 12, 12)), tangent ordering [pose (6); twist (6)]."""
-
-    def unpack(state, k):
-        (R, t), w = state
-        return (R[k], t[k]), w[k], (R[k + 1], t[k + 1]), w[k + 1]
-
-    def pack(Pi, wi, Pj, wj):
-        return (*Pi, wi, *Pj, wj)
-
-    return _query_posterior_lie(se3_mod, gamma_se3, interp_se3, unpack, pack,
+    return _query_posterior_lie(se3_mod, gamma_se3, interp_se3,
+                                _unpack_se3, _pack_se3,
                                 graph, values, times, knot_times, qc,
                                 state_group, lm_group)
+
+
+def _unpack_se2(state, k):
+    T, w = state
+    return T[k], w[k], T[k + 1], w[k + 1]
+
+
+def _pack_se2(Pi, wi, Pj, wj):
+    return (Pi, wi, Pj, wj)
+
+
+def _unpack_se3(state, k):
+    (R, t), w = state
+    return (R[k], t[k]), w[k], (R[k + 1], t[k + 1]), w[k + 1]
+
+
+def _pack_se3(Pi, wi, Pj, wj):
+    return (*Pi, wi, *Pj, wj)
+
+
+def query_joint_posterior_se2(graph, values, times, knot_times, qc,
+                              state_group: str = "state",
+                              lm_group: Optional[str] = "landmark"):
+    """JOINT posterior over M query times on an SE(2) GP chain: returns
+    ((pose, vel), Sigma_joint (M, M, 6, 6)) with Sigma_joint[a, c] the
+    tangent-space cross-covariance Cov(state(tau_a), state(tau_c)); the
+    diagonal matches query_posterior_se2. First order in the GP bridge,
+    exact at knot times."""
+    return _query_joint_posterior_lie(se2_mod, gamma_se2, interp_se2,
+                                      _unpack_se2, _pack_se2,
+                                      graph, values, times, knot_times, qc,
+                                      state_group, lm_group)
+
+
+def query_joint_posterior_se3(graph, values, times, knot_times, qc,
+                              state_group: str = "state",
+                              lm_group: Optional[str] = "landmark"):
+    """SE(3) version of query_joint_posterior_se2: ((pose=(R, t), twist),
+    Sigma_joint (M, M, 12, 12))."""
+    return _query_joint_posterior_lie(se3_mod, gamma_se3, interp_se3,
+                                      _unpack_se3, _pack_se3,
+                                      graph, values, times, knot_times, qc,
+                                      state_group, lm_group)

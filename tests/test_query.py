@@ -291,6 +291,189 @@ def test_query_posterior_se3_at_knots_matches_marginals():
     np.testing.assert_allclose(np.asarray(Sig), np.asarray(mc), atol=1e-8)
 
 
+# ----------------------------------------------------- joint (multi-time)
+def test_tridiag_cross_at_matches_dense():
+    """Arbitrary-gap selected-inverse blocks (incl. i > j and i == j)."""
+    n, b = 7, 3
+    Dd = RNG.normal(size=(n, b, b))
+    Dd = Dd @ Dd.transpose(0, 2, 1) + (4 + b) * np.eye(b)[None]
+    U = 0.6 * RNG.normal(size=(n, b, b))
+    U[-1] = 0
+    Sigma, P = marginals.tridiag_selected_inverse(jnp.asarray(Dd),
+                                                  jnp.asarray(U))
+    H = np.zeros((n * b, n * b))
+    for i in range(n):
+        H[i*b:(i+1)*b, i*b:(i+1)*b] = Dd[i]
+        if i + 1 < n:
+            H[i*b:(i+1)*b, (i+1)*b:(i+2)*b] = U[i]
+            H[(i+1)*b:(i+2)*b, i*b:(i+1)*b] = U[i].T
+    Hinv = np.linalg.inv(H)
+    rows = np.array([0, 2, 5, 3, 4, 6, 0], np.int32)
+    cols = np.array([4, 2, 1, 3, 6, 0, 1], np.int32)
+    X = marginals.tridiag_cross_at(Sigma, P, jnp.asarray(U),
+                                   jnp.asarray(rows), jnp.asarray(cols))
+    for m, (i, j) in enumerate(zip(rows, cols)):
+        np.testing.assert_allclose(
+            np.asarray(X[m]), Hinv[i*b:(i+1)*b, j*b:(j+1)*b], atol=1e-10
+        )
+
+
+def test_joint_query_at_knots(coarse_solved):
+    """times == knot times: joint diagonal == chain marginals; the (k, k+1)
+    off-diagonal block == the adjacent Takahashi cross block."""
+    graph, vals = coarse_solved
+    kt = jnp.asarray(COARSE_T)
+    _, J = query.query_joint_posterior_linear(graph, vals, kt, kt, QC,
+                                              lm_group=None)
+    mc = marginals.chain_marginals(graph, vals, lm_group=None)["state"]
+    n = len(COARSE_T)
+    for a in range(n):
+        np.testing.assert_allclose(np.asarray(J[a, a]), np.asarray(mc[a]),
+                                   atol=1e-9)
+    _, cross, _ = marginals.chain_joint_marginals(graph, vals, lm_group=None)
+    for a in range(n - 2):  # last knot clamps into the final interval
+        np.testing.assert_allclose(np.asarray(J[a, a + 1]),
+                                   np.asarray(cross[a]), atol=1e-9)
+
+
+def _dense_joint_blocks(graph_f, vals_f, idxs, b):
+    """Full-inverse cross blocks of the refined problem, dense reference."""
+    from gpslam_tpu.graph import graph as graphlib
+    from gpslam_tpu.ops import dense as dense_ops
+
+    layout, Dtot = dense_ops.tangent_layout(graph_f, vals_f)
+    lins = graphlib.linearize(graph_f, vals_f)
+    H, _ = dense_ops.assemble_dense(graph_f, lins, layout, Dtot, jnp.float64)
+    Hinv = np.linalg.inv(np.asarray(H))
+    off = layout["state"][0]
+    out = np.zeros((len(idxs), len(idxs), b, b))
+    for a, i in enumerate(idxs):
+        for c, j in enumerate(idxs):
+            out[a, c] = Hinv[off + i*b:off + (i+1)*b, off + j*b:off + (j+1)*b]
+    return out
+
+
+def test_joint_query_refinement_parity(coarse_solved):
+    """Insert THREE query times as real knots (two sharing a coarse interval,
+    one elsewhere): the refined problem's dense-inverse cross blocks must
+    equal the coarse problem's joint query covariance — this exercises the
+    arbitrary-gap support cross terms AND the same-interval bridge cross."""
+    graph_c, vals_c = coarse_solved
+    taus = np.array([1.4, 3.2, 3.6])
+    fine_t = np.sort(np.append(COARSE_T, taus))
+    k_new = [int(np.searchsorted(fine_t, t)) for t in taus]
+    meas_f = [(int(np.searchsorted(fine_t, COARSE_T[j])), m, s)
+              for (j, m, s) in MEAS]
+    graph_f, values_f = build_chain(fine_t, meas_f)
+    vals_f, st = lm_solve(graph_f, values_f, LMConfig(),
+                          solver=make_dense_solver(False))
+    assert bool(st.converged)
+
+    _, J = query.query_joint_posterior_linear(
+        graph_c, vals_c, jnp.asarray(taus), jnp.asarray(COARSE_T), QC,
+        lm_group=None,
+    )
+    ref = _dense_joint_blocks(graph_f, vals_f, k_new, 2 * D)
+    np.testing.assert_allclose(np.asarray(J), ref, atol=1e-8)
+
+
+def test_joint_query_unsorted_times(coarse_solved):
+    """Query times need not be sorted: the joint must be a permutation of
+    the sorted-query joint."""
+    graph, vals = coarse_solved
+    ts = jnp.asarray([3.6, 1.4, 3.2])
+    tu = jnp.asarray([1.4, 3.2, 3.6])
+    _, Ju = query.query_joint_posterior_linear(graph, vals, ts,
+                                               jnp.asarray(COARSE_T), QC,
+                                               lm_group=None)
+    _, Js = query.query_joint_posterior_linear(graph, vals, tu,
+                                               jnp.asarray(COARSE_T), QC,
+                                               lm_group=None)
+    perm = [2, 0, 1]  # ts[a] == tu[perm[a]]
+    for a in range(3):
+        for c in range(3):
+            np.testing.assert_allclose(np.asarray(Ju[a, c]),
+                                       np.asarray(Js[perm[a], perm[c]]),
+                                       atol=1e-10)
+
+
+def test_joint_query_refinement_parity_wnoj():
+    """Order-3 joint query, same-interval pair."""
+    graph_c, values_c = _build_wnoj_chain(COARSE_T, MEAS)
+    vals_c, st = lm_solve(graph_c, values_c, LMConfig(),
+                          solver=make_dense_solver(False))
+    assert bool(st.converged)
+    taus = np.array([3.2, 3.6])
+    fine_t = np.sort(np.append(COARSE_T, taus))
+    k_new = [int(np.searchsorted(fine_t, t)) for t in taus]
+    meas_f = [(int(np.searchsorted(fine_t, COARSE_T[j])), m, s)
+              for (j, m, s) in MEAS]
+    graph_f, values_f = _build_wnoj_chain(fine_t, meas_f)
+    vals_f, st_f = lm_solve(graph_f, values_f, LMConfig(),
+                            solver=make_dense_solver(False))
+    assert bool(st_f.converged)
+
+    _, J = query.query_joint_posterior_linear(
+        graph_c, vals_c, jnp.asarray(taus), jnp.asarray(COARSE_T), QC,
+        lm_group=None, order=3,
+    )
+    ref = _dense_joint_blocks(graph_f, vals_f, k_new, 3 * D)
+    np.testing.assert_allclose(np.asarray(J), ref, atol=1e-8)
+
+
+def test_joint_query_se2(se2_chain_solved):
+    """SE(2) joint query: knot diagonal == chain marginals, adjacent knot
+    cross == Takahashi cross, diagonal between knots == the single-time
+    posterior, and the full stacked joint is SPD."""
+    graph, vals, qc, dt = se2_chain_solved
+    n = vals["state"][0].shape[0]
+    kt = jnp.asarray(np.arange(n) * dt)
+
+    _, Jk = query.query_joint_posterior_se2(graph, vals, kt, kt, qc,
+                                            lm_group=None)
+    mc = marginals.chain_marginals(graph, vals, lm_group=None)["state"]
+    _, cross, _ = marginals.chain_joint_marginals(graph, vals, lm_group=None)
+    for a in range(n):
+        np.testing.assert_allclose(np.asarray(Jk[a, a]), np.asarray(mc[a]),
+                                   atol=1e-9)
+    for a in range(n - 2):
+        np.testing.assert_allclose(np.asarray(Jk[a, a + 1]),
+                                   np.asarray(cross[a]), atol=1e-9)
+
+    tq = jnp.asarray([0.4, 2.3, 2.7, 7.9])
+    (pose, vel), J = query.query_joint_posterior_se2(graph, vals, tq, kt, qc,
+                                                     lm_group=None)
+    _, Sd = query.query_posterior_se2(graph, vals, tq, kt, qc, lm_group=None)
+    for a in range(4):
+        np.testing.assert_allclose(np.asarray(J[a, a]), np.asarray(Sd[a]),
+                                   atol=1e-10)
+    big = np.asarray(J).transpose(0, 2, 1, 3).reshape(4 * 6, 4 * 6)
+    eig = np.linalg.eigvalsh(big)
+    assert (eig > 0).all(), eig
+
+
+def test_joint_query_se3_smoke():
+    from gpslam_tpu.io import synthetic
+    from gpslam_tpu.models import pose3_slam
+
+    data = synthetic.make_se3_pose_graph(n_states=8, seed=3)
+    graph, values = pose3_slam.build(data, dtype=jnp.float64)
+    vals, st = lm_solve(graph, values, LMConfig(),
+                        solver=make_dense_solver(False))
+    dt = float(data["dt"])
+    kt = jnp.asarray(np.arange(8) * dt)
+    qc = float(data["qc"])
+    tq = kt[1:4]
+    _, J = query.query_joint_posterior_se3(graph, vals, tq, kt, qc,
+                                           lm_group=None)
+    mc = marginals.chain_marginals(graph, vals, lm_group=None)["state"]
+    for a in range(3):
+        np.testing.assert_allclose(np.asarray(J[a, a]),
+                                   np.asarray(mc[1 + a]), atol=1e-8)
+    big = np.asarray(J).transpose(0, 2, 1, 3).reshape(3 * 12, 3 * 12)
+    assert (np.linalg.eigvalsh(big) > 0).all()
+
+
 # ------------------------------------------------------------------ WNOJ
 def _build_wnoj_chain(knot_times, meas, dtype=jnp.float64):
     knot_times = np.asarray(knot_times, float)
