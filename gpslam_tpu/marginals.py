@@ -170,6 +170,33 @@ def chain_joint_marginals(graph, values, state_group: str = "state",
     return Sigma, cross, Sll_diag
 
 
+def joint_marginal_covariance(graph, values, indices,
+                              state_group: str = "state",
+                              lm_group: Optional[str] = "landmark"):
+    """GTSAM `Marginals::jointMarginalCovariance(KeyVector)` equivalent on a
+    GP chain: the FULL joint tangent-space covariance over an arbitrary
+    subset of chain states (any gaps, any order). Returns (K, K, b, b) with
+    block [a, c] = Cov(x_{indices[a]}, x_{indices[c]}); stack with
+    `.transpose(0, 2, 1, 3).reshape(K*b, K*b)` for the flat matrix.
+
+    Off-diagonal blocks come from the gain-product propagation of the
+    selected inverse (tridiag_cross_at); the landmark arrowhead correction
+    Y_i Sc^{-1} Y_j^T is applied to every block."""
+    Sigma, P, U, Y, Sc_inv = chain_selected_inverse_parts(
+        graph, values, state_group, lm_group
+    )
+    idx = jnp.asarray(indices)
+    K = idx.shape[0]
+    b = Sigma.shape[-1]
+    rows = jnp.broadcast_to(idx[:, None], (K, K)).reshape(-1)
+    cols = jnp.broadcast_to(idx[None, :], (K, K)).reshape(-1)
+    J = tridiag_cross_at(Sigma, P, U, rows, cols).reshape(K, K, b, b)
+    if Y is not None:
+        Yi = Y[idx]
+        J = J + jnp.einsum("abr,rs,cds->acbd", Yi, Sc_inv, Yi)
+    return J
+
+
 def chain_marginals(graph, values, state_group: str = "state",
                     lm_group: Optional[str] = "landmark"):
     """Marginal covariances for every chain state (and landmark) at `values`.

@@ -67,3 +67,31 @@ def test_marginal_recovery(problem):
     # weak-prior-only baseline sigma (100)
     tr = np.trace(np.asarray(mc["landmark"]), axis1=-2, axis2=-1)
     assert np.all(tr < 1.0)
+
+
+def test_joint_marginal_covariance(problem):
+    """GTSAM jointMarginalCovariance parity: full joint over an arbitrary
+    state subset (gaps + unsorted) vs the dense inverse, WITH the landmark
+    arrowhead correction in play."""
+    from gpslam_tpu.graph import graph as graphlib
+    from gpslam_tpu.ops import dense as dense_ops
+
+    graph, values = pose2_slam.build_landmark_slam(problem, dtype=jnp.float64)
+    solver = chain.make_chain_solver(graph)
+    vals, _ = lm_solve(graph, values, LMConfig(), solver=solver)
+
+    idx = np.array([3, 41, 7, 22], np.int32)
+    J = marginals.joint_marginal_covariance(graph, vals, jnp.asarray(idx))
+
+    layout, Dtot = dense_ops.tangent_layout(graph, vals)
+    lins = graphlib.linearize(graph, vals)
+    H, _ = dense_ops.assemble_dense(graph, lins, layout, Dtot, jnp.float64)
+    Hinv = np.linalg.inv(np.asarray(H))
+    off, b = layout["state"]
+    for a, i in enumerate(idx):
+        for c, j in enumerate(idx):
+            np.testing.assert_allclose(
+                np.asarray(J[a, c]),
+                Hinv[off + i*b:off + (i+1)*b, off + j*b:off + (j+1)*b],
+                rtol=1e-5, atol=1e-10,
+            )
