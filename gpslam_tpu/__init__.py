@@ -51,3 +51,4 @@ from .solve import (  # noqa: E402,F401
 )
 from .graph import GraphBuilder, manifolds  # noqa: E402,F401
 from . import query  # noqa: E402,F401  post-solve trajectory queries (§3.4)
+from . import marginals  # noqa: E402,F401  marginal/joint covariances (S12)
