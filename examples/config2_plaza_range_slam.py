@@ -72,6 +72,17 @@ def main():
         print(f"  t={float(tq[i]):8.2f}s  p=({float(xq[i,0]):7.2f}, "
               f"{float(xq[i,1]):7.2f}) m  1-sigma=({sd[i,0]:.3f}, {sd[i,1]:.3f}) m")
 
+    # JOINT posterior across query times (GTSAM JointMarginal, continuous
+    # time): correlation between two nearby between-knot query points
+    t2 = jnp.asarray([float(tq[0]), float(tq[0]) + 0.4 * dt_knot], jnp.float32)
+    _, Jq = query.query_joint_posterior_linear(
+        graph, vals, t2, kt, float(data["qc"])
+    )
+    c = np.asarray(Jq[0, 1]); s0 = np.asarray(Jq[0, 0]); s1 = np.asarray(Jq[1, 1])
+    rho = c[0, 0] / np.sqrt(s0[0, 0] * s1[0, 0])
+    print(f"  joint query: corr(x({float(t2[0]):.2f}s), x({float(t2[1]):.2f}s))"
+          f" = {rho:.3f}")
+
 
 if __name__ == "__main__":
     main()
