@@ -281,6 +281,29 @@ def supernodal_marginals(graph, values, solver=None, amalgamate: bool = True,
     return solver.diag_marginals(S, graph)
 
 
+def supernodal_joint_marginals(graph, values, pairs, solver=None):
+    """Pairwise joint covariances on ARBITRARY sparse graphs (loop closures,
+    mixed pose/landmark) — GTSAM `Marginals::jointMarginalCovariance` for
+    variable pairs inside the fill pattern (any two variables sharing a
+    factor qualify). pairs: [((group_i, idx_i), (group_j, idx_j)), ...] ->
+    list of (d_i + d_j, d_i + d_j) joint tangent covariances.
+
+    Uses the blocked Takahashi selected inverse over the per-variable
+    supernodal schedule (amalgamated panels remap variables, so this path
+    always uses the per-variable solver); out-of-pattern pairs raise with a
+    pointer to the dense fallback."""
+    if solver is None:
+        from .ops.supernodal import SupernodalSolver
+
+        solver = SupernodalSolver(graph, values)
+    lins = graphlib.linearize(graph, values)
+    blocks, _ = solver.assemble_raw(graph, lins, values)
+    blocks = solver.add_damping(blocks, 0.0)
+    L = solver.factorize(blocks)
+    S = solver.selected_inverse(L)
+    return solver.joint_marginal_pairs(S, graph, pairs)
+
+
 def dense_marginals(graph, values):
     """Dense fallback for arbitrary small graphs: block-diagonal of H^{-1}
     per variable. Returns {group: (N_g, dim_g, dim_g)}."""

@@ -143,3 +143,52 @@ def test_auto_marginals_dispatch(lc_solved, solved_problem):
     for g in ms:
         np.testing.assert_allclose(np.asarray(ml[g]), np.asarray(ms[g]),
                                    atol=1e-8)
+
+
+def test_supernodal_joint_marginals_match_dense(lc_solved):
+    """In-pattern pairwise joints (GTSAM jointMarginalCovariance) on a
+    loop-closure pose graph: consecutive pairs AND the loop-closure pair
+    itself vs the dense inverse."""
+    from gpslam_tpu.graph import graph as graphlib
+    from gpslam_tpu.ops import dense as dense_ops
+    from gpslam_tpu.ops.supernodal import SupernodalSolver
+
+    graph, vals = lc_solved
+    data = synthetic.make_se2_pose_graph(n_states=60, seed=4)
+    li, lj = int(data["lc_i"][0]), int(data["lc_j"][0])
+    pairs = [(("state", 5), ("state", 6)),
+             (("state", li), ("state", lj)),
+             (("state", 20), ("state", 19))]  # reversed order too
+    J = marginals.supernodal_joint_marginals(graph, vals, pairs)
+
+    layout, Dtot = dense_ops.tangent_layout(graph, vals)
+    lins = graphlib.linearize(graph, vals)
+    H, _ = dense_ops.assemble_dense(graph, lins, layout, Dtot, jnp.float64)
+    Hinv = np.linalg.inv(np.asarray(H))
+    off, d = layout["state"]
+
+    def blk(i, j):
+        return Hinv[off + i*d:off + (i+1)*d, off + j*d:off + (j+1)*d]
+
+    for m, ((_, i), (_, j)) in enumerate(pairs):
+        ref = np.block([[blk(i, i), blk(i, j)], [blk(j, i), blk(j, j)]])
+        np.testing.assert_allclose(np.asarray(J[m]), ref, atol=1e-8,
+                                   err_msg=str(pairs[m]))
+
+    # out-of-pattern pair (found dynamically) must raise with guidance
+    sn = SupernodalSolver(graph, vals)
+    n = vals["state"][0].shape[0]
+    missing = None
+    for i in range(n):
+        for j in range(i + 2, n):
+            pi, pj = int(sn.pos[i]), int(sn.pos[j])
+            if pi != pj and (max(pi, pj), min(pi, pj)) not in sn.off_id:
+                missing = (i, j)
+                break
+        if missing:
+            break
+    if missing is not None:
+        with pytest.raises(ValueError, match="outside the fill pattern"):
+            marginals.supernodal_joint_marginals(
+                graph, vals, [(("state", missing[0]), ("state", missing[1]))]
+            )
