@@ -93,8 +93,19 @@ def main():
 
     S = 8
     leaves, treedef = jax.tree_util.tree_flatten(values)
+    rng = np.random.default_rng(42)
+    # genuinely distinct hypotheses: perturb each seed's initialization
+    # (BASELINE "many-seed / many-hypothesis" — not a broadcast throughput toy)
     values_b = jax.tree_util.tree_unflatten(
-        treedef, [jnp.broadcast_to(l, (S, *l.shape)) for l in leaves]
+        treedef,
+        [
+            jnp.asarray(
+                np.asarray(l)[None]
+                + 0.1 * rng.standard_normal((S, *l.shape)),
+                l.dtype,
+            )
+            for l in leaves
+        ],
     )
     solver_ms = chain_ops.make_chain_solver(graph)
     cfg_ms = LMConfig(max_iterations=40)

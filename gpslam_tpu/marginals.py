@@ -181,16 +181,24 @@ def joint_marginal_covariance(graph, values, indices,
 
     Off-diagonal blocks come from the gain-product propagation of the
     selected inverse (tridiag_cross_at); the landmark arrowhead correction
-    Y_i Sc^{-1} Y_j^T is applied to every block."""
+    Y_i Sc^{-1} Y_j^T is applied to every block. Only the strict upper
+    triangle runs the O(N) masked scans — the diagonal is Sigma[idx] and the
+    lower triangle is the mirrored transpose (K(K-1)/2 scans, not K^2)."""
+    import numpy as np
+
     Sigma, P, U, Y, Sc_inv = chain_selected_inverse_parts(
         graph, values, state_group, lm_group
     )
     idx = jnp.asarray(indices)
     K = idx.shape[0]
     b = Sigma.shape[-1]
-    rows = jnp.broadcast_to(idx[:, None], (K, K)).reshape(-1)
-    cols = jnp.broadcast_to(idx[None, :], (K, K)).reshape(-1)
-    J = tridiag_cross_at(Sigma, P, U, rows, cols).reshape(K, K, b, b)
+    iu_a, iu_c = np.triu_indices(K, 1)
+    J = jnp.zeros((K, K, b, b), Sigma.dtype)
+    J = J.at[jnp.arange(K), jnp.arange(K)].set(Sigma[idx])
+    if len(iu_a):
+        X = tridiag_cross_at(Sigma, P, U, idx[iu_a], idx[iu_c])
+        J = J.at[iu_a, iu_c].set(X)
+        J = J.at[iu_c, iu_a].set(jnp.swapaxes(X, -1, -2))
     if Y is not None:
         Yi = Y[idx]
         J = J + jnp.einsum("abr,rs,cds->acbd", Yi, Sc_inv, Yi)
@@ -288,10 +296,12 @@ def supernodal_joint_marginals(graph, values, pairs, solver=None):
     factor qualify). pairs: [((group_i, idx_i), (group_j, idx_j)), ...] ->
     list of (d_i + d_j, d_i + d_j) joint tangent covariances.
 
-    Uses the blocked Takahashi selected inverse over the per-variable
-    supernodal schedule (amalgamated panels remap variables, so this path
-    always uses the per-variable solver); out-of-pattern pairs raise with a
-    pointer to the dense fallback."""
+    Uses the blocked Takahashi selected inverse over the supernodal
+    schedule. Pass `solver` (a SupernodalSolver OR AmalgamatedSupernodalSolver
+    built on this graph, e.g. the one supernodal_marginals used) to reuse its
+    symbolic analysis — each class extracts joint blocks from its own storage
+    layout; out-of-pattern pairs raise with a pointer to the dense
+    fallback."""
     if solver is None:
         from .ops.supernodal import SupernodalSolver
 

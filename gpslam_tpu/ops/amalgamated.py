@@ -262,6 +262,54 @@ class AmalgamatedSupernodalSolver(SupernodalSolver):
             out[grp] = Sv[o : o + nn, :d, :d]
         return out
 
+    def joint_marginal_pairs(self, S, graph, pairs):
+        """Pairwise joint tangent covariances out of supernode PANELS.
+
+        Overrides the per-variable base implementation (whose block ids and
+        `pos` indexing do not apply to panel storage — using it here would
+        silently return wrong covariances). Variable at elimination position
+        p lives in panel snode[p] at row/col offset off_in[p]*b_var; pairs
+        within one supernode read the diagonal panel, pairs across
+        supernodes read the meta off-diagonal panel. Same-variable pairs
+        degrade to the duplicated marginal; pairs outside the supernode fill
+        pattern raise (dense fallback applies).
+        """
+        b = self.b_var
+        out = []
+        for (ga, ia), (gb, ib) in pairs:
+            da = graph.manifolds[ga].dim
+            db = graph.manifolds[gb].dim
+            pa = int(self.pos[self.group_offset[ga] + int(ia)])
+            pb = int(self.pos[self.group_offset[gb] + int(ib)])
+            sa, sb_ = int(self.snode[pa]), int(self.snode[pb])
+            oa, ob = int(self.off_in[pa]) * b, int(self.off_in[pb]) * b
+            Saa = S[sa, oa : oa + da, oa : oa + da]
+            Sbb = S[sb_, ob : ob + db, ob : ob + db]
+            if pa == pb:
+                top = jnp.concatenate([Saa, Saa], axis=-1)
+                out.append(jnp.concatenate([top, top], axis=-2))
+                continue
+            if sa == sb_:
+                Sab = S[sa, oa : oa + da, ob : ob + db]
+            else:
+                key = (max(sa, sb_), min(sa, sb_))
+                if key not in self.off_id:
+                    raise ValueError(
+                        f"pair {((ga, int(ia)), (gb, int(ib)))} is outside "
+                        f"the supernode fill pattern; use the dense fallback"
+                    )
+                panel = S[self.off_id[key]]  # rows: max snode, cols: min
+                if sa > sb_:
+                    Sab = panel[oa : oa + da, ob : ob + db]
+                else:
+                    Sab = jnp.swapaxes(
+                        panel[ob : ob + db, oa : oa + da], -1, -2
+                    )
+            top = jnp.concatenate([Saa, Sab], axis=-1)
+            bot = jnp.concatenate([jnp.swapaxes(Sab, -1, -2), Sbb], axis=-1)
+            out.append(jnp.concatenate([top, bot], axis=-2))
+        return out
+
     @property
     def solver(self):
         """lm_solve-compatible: solver(graph, values, lins, lam) -> delta."""

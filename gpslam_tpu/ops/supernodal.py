@@ -401,6 +401,9 @@ class SupernodalSolver:
         Returns a list of (d_i + d_j, d_i + d_j) arrays
         [[S_ii, S_ij], [S_ij^T, S_jj]]. Raises ValueError for a pair
         outside the pattern (use marginals.dense_marginals-style fallback).
+        A pair naming the same variable twice degrades to the duplicated
+        marginal [[S_ii, S_ii], [S_ii, S_ii]] (GTSAM jointMarginalCovariance
+        semantics for repeated keys).
         """
         out = []
         for (ga, ia), (gb, ib) in pairs:
@@ -411,8 +414,9 @@ class SupernodalSolver:
             Saa = S[pa, :da, :da]
             Sbb = S[pb, :db, :db]
             if pa == pb:
-                raise ValueError(f"joint of a variable with itself: "
-                                 f"{(ga, ia)}")
+                top = jnp.concatenate([Saa, Saa], axis=-1)
+                out.append(jnp.concatenate([top, top], axis=-2))
+                continue
             key = (max(pa, pb), min(pa, pb))
             if key not in self.off_id:
                 raise ValueError(

@@ -133,20 +133,33 @@ def _pairwise_support_cov(graph, values, k, state_group, lm_group):
     pairs: Ssupp (M, M, 2b, 2b) with Ssupp[a, c] = Cov([x_{k_a}; x_{k_a+1}],
     [x_{k_c}; x_{k_c+1}]) from the selected inverse (arbitrary-gap blocks via
     marginals.tridiag_cross_at, landmark arrowhead correction included)."""
+    import numpy as np
+
     Sigma, P, U, Y, Sc_inv = marginals_mod.chain_selected_inverse_parts(
         graph, values, state_group, lm_group
     )
     M = k.shape[0]
     b = Sigma.shape[-1]
     off = jnp.asarray([0, 1])
-    # rows[a, c, p, q] = k_a + p, cols[a, c, p, q] = k_c + q
-    rows = (k[:, None, None, None] + off[None, None, :, None]
-            + jnp.zeros((1, M, 1, 2), k.dtype))
-    cols = (k[None, :, None, None] + off[None, None, None, :]
-            + jnp.zeros((M, 1, 2, 1), k.dtype))
-    X = marginals_mod.tridiag_cross_at(
+    # Cov(supp_a, supp_c) = Cov(supp_c, supp_a)^T: run the O(N) masked scans
+    # only for pairs a <= c and mirror (M(M+1)/2 * 4 scans, not M^2 * 4)
+    iu_a, iu_c = np.triu_indices(M)
+    # rows[p, q] = k_a + p, cols[p, q] = k_c + q per upper pair
+    rows = (k[iu_a][:, None, None] + off[None, :, None]
+            + jnp.zeros((1, 1, 2), k.dtype))
+    cols = (k[iu_c][:, None, None] + off[None, None, :]
+            + jnp.zeros((1, 2, 1), k.dtype))
+    Xu = marginals_mod.tridiag_cross_at(
         Sigma, P, U, rows.reshape(-1), cols.reshape(-1)
-    ).reshape(M, M, 2, 2, b, b)
+    ).reshape(len(iu_a), 2, 2, b, b)
+    X = jnp.zeros((M, M, 2, 2, b, b), Sigma.dtype)
+    X = X.at[iu_a, iu_c].set(Xu)
+    # mirror: block (c, a) = transpose of (a, c) with the support-slot axes
+    # swapped; diagonal entries rewrite themselves with their own transpose
+    # (a no-op: Cov(supp_a, supp_a) is symmetric)
+    X = X.at[iu_c, iu_a].set(
+        jnp.swapaxes(jnp.swapaxes(Xu, 1, 2), -1, -2)
+    )
     if Y is not None:
         Yi = Y[(k[:, None] + off[None, :]).reshape(-1)].reshape(M, 2, b, -1)
         corr = jnp.einsum("apbr,rs,cqds->acpqbd", Yi, Sc_inv, Yi)

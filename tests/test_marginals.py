@@ -192,3 +192,51 @@ def test_supernodal_joint_marginals_match_dense(lc_solved):
             marginals.supernodal_joint_marginals(
                 graph, vals, [(("state", missing[0]), ("state", missing[1]))]
             )
+
+
+def test_amalgamated_joint_marginals_match_dense(lc_solved):
+    """Passing an AmalgamatedSupernodalSolver (the default solver
+    supernodal_marginals builds) to supernodal_joint_marginals must extract
+    joints from the PANEL storage correctly — the silent-corruption case
+    before the override existed (ADVICE.md r1, medium)."""
+    from gpslam_tpu.graph import graph as graphlib
+    from gpslam_tpu.ops import dense as dense_ops
+    from gpslam_tpu.ops.amalgamated import AmalgamatedSupernodalSolver
+
+    graph, vals = lc_solved
+    data = synthetic.make_se2_pose_graph(n_states=60, seed=4)
+    li, lj = int(data["lc_i"][0]), int(data["lc_j"][0])
+    pairs = [(("state", 5), ("state", 6)),     # likely same supernode
+             (("state", li), ("state", lj)),   # loop closure, across panels
+             (("state", 20), ("state", 19)),   # reversed order
+             (("state", 7), ("state", 7))]     # same variable twice
+    solver = AmalgamatedSupernodalSolver(graph, vals, w_max=3)
+    J = marginals.supernodal_joint_marginals(graph, vals, pairs,
+                                             solver=solver)
+
+    layout, Dtot = dense_ops.tangent_layout(graph, vals)
+    lins = graphlib.linearize(graph, vals)
+    H, _ = dense_ops.assemble_dense(graph, lins, layout, Dtot, jnp.float64)
+    Hinv = np.linalg.inv(np.asarray(H))
+    off, d = layout["state"]
+
+    def blk(i, j):
+        return Hinv[off + i*d:off + (i+1)*d, off + j*d:off + (j+1)*d]
+
+    for m, ((_, i), (_, j)) in enumerate(pairs):
+        ref = np.block([[blk(i, i), blk(i, j)], [blk(j, i), blk(j, j)]])
+        np.testing.assert_allclose(np.asarray(J[m]), ref, atol=1e-8,
+                                   err_msg=str(pairs[m]))
+
+
+def test_supernodal_joint_same_variable_degrades_to_marginal(lc_solved):
+    """pa == pb returns [[S, S], [S, S]] instead of raising (GTSAM
+    jointMarginalCovariance repeated-key semantics; ADVICE.md r1, low)."""
+    graph, vals = lc_solved
+    (J,) = marginals.supernodal_joint_marginals(
+        graph, vals, [(("state", 9), ("state", 9))]
+    )
+    md = marginals.dense_marginals(graph, vals)
+    S = np.asarray(md["state"][9])
+    np.testing.assert_allclose(np.asarray(J), np.block([[S, S], [S, S]]),
+                               atol=1e-8)
