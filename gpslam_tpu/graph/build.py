@@ -52,7 +52,14 @@ class GraphBuilder:
         for g in groups:
             if g not in self._manifolds:
                 raise ValueError(f"unknown group {g!r}; add_group first")
-        idx = tuple(jnp.asarray(np.asarray(i), jnp.int32) for i in idx)
+        # idx arrays are STRUCTURAL: they drive host-side symbolic analysis
+        # (role tables, orderings, schedules) and must stay host-resident
+        # numpy — eager device arrays would force a device fetch per
+        # structural query (catastrophic through a remote-TPU tunnel) and a
+        # per-shape transfer executable on some PJRT backends. jit uploads
+        # them with the other arguments when the solve runs.
+        idx = tuple(np.ascontiguousarray(np.asarray(i), np.int32)
+                    for i in idx)
         sizes = {i.shape[0] for i in idx}
         if len(sizes) != 1:
             raise ValueError(f"slot index arrays disagree on batch size: {sizes}")

@@ -44,7 +44,8 @@ class AmalgamatedSupernodalSolver(SupernodalSolver):
     assembly goes variable-blocks -> supernode panels.
     """
 
-    def __init__(self, graph: Graph, values, w_max: int = 4):
+    def __init__(self, graph: Graph, values, w_max: int = 4,
+                 ordering: str = "md", mode: str = "auto"):
         # ---- variable-level setup (mirrors SupernodalSolver) -----------
         self.groups = list(values.keys())
         dims = {g: graph.manifolds[g].dim for g in self.groups}
@@ -67,7 +68,9 @@ class AmalgamatedSupernodalSolver(SupernodalSolver):
                     + self.group_sizes[g]] = dims[g]
 
         indptr, indices, _ = order_mod.adjacency_from_graph(graph, values)
-        perm = order_mod.min_degree_ordering(indptr, indices)
+        from .supernodal import _run_ordering
+
+        perm = _run_ordering(indptr, indices, ordering)
         _, parent_var, _ = order_mod.symbolic_factor(indptr, indices, perm)
         self.perm = perm
         pos = np.zeros(n_var, np.int64)
@@ -124,6 +127,7 @@ class AmalgamatedSupernodalSolver(SupernodalSolver):
         self.n = n_s
         self.b = w_max * b
         self._build_numeric_schedules(meta_struct, meta_parent)
+        self._set_mode(mode)
 
         # identity padding: slot q of supernode s is active on
         # [q*b, q*b + var_dim) for q < width(s); everything else padded

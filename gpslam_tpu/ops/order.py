@@ -51,6 +51,11 @@ def _load_native(name: str = "md_order") -> Optional[ctypes.CDLL]:
         if name == "md_order":
             lib.md_order.restype = ctypes.c_int
             lib.md_order.argtypes = [ctypes.c_int64] + [_I64P] * 3
+        elif name == "nd_order":
+            lib.nd_order.restype = ctypes.c_int
+            lib.nd_order.argtypes = (
+                [ctypes.c_int64] + [_I64P] * 2 + [ctypes.c_int64, _I64P]
+            )
         elif name == "symbolic":
             lib.symbolic_factor.restype = ctypes.c_int64
             lib.symbolic_factor.argtypes = (
@@ -149,6 +154,212 @@ def _min_degree_py(indptr, indices):
                 adj[nbrs[bi]].add(nbrs[ai])
         adj[best] = set()
     return perm
+
+
+def _bfs_levels(indptr, indices, stamp, sid, level, verts, start):
+    """BFS levels within the sub-vertex-set `verts` (those with stamp == sid),
+    written into `level` (global scratch, reset for `verts` only — O(|verts|),
+    never O(n)). Vectorized numpy frontier expansion."""
+    level[verts] = -1
+    level[start] = 0
+    frontier = np.asarray([start], np.int64)
+    lv = 0
+    while frontier.size:
+        counts = indptr[frontier + 1] - indptr[frontier]
+        tot = counts.sum()
+        if tot == 0:
+            break
+        starts = indptr[frontier]
+        offs = np.repeat(starts, counts) + (
+            np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        nbrs = indices[offs]
+        nbrs = nbrs[(stamp[nbrs] == sid) & (level[nbrs] < 0)]
+        nbrs = np.unique(nbrs)
+        lv += 1
+        level[nbrs] = lv
+        frontier = nbrs
+
+
+def _pseudo_peripheral(indptr, indices, stamp, sid, level, verts):
+    """A few BFS sweeps to find a vertex of near-maximal eccentricity."""
+    v = int(verts[0])
+    for _ in range(3):
+        _bfs_levels(indptr, indices, stamp, sid, level, verts, v)
+        lvv = level[verts]
+        far = verts[lvv == lvv.max()]
+        nxt = int(far[0])
+        if nxt == v:
+            break
+        v = nxt
+    return v
+
+
+def nested_dissection_ordering(indptr: np.ndarray, indices: np.ndarray,
+                               leaf_size: int = 64) -> np.ndarray:
+    """Nested-dissection-class fill-reducing ordering (SURVEY.md §2.2 S7:
+    GTSAM's Ordering::Metis option; reference vendors METIS for the same
+    purpose).
+
+    Recursive bisection with BFS level-structure vertex separators:
+    children first, separator last — which makes the elimination tree
+    BALANCED (depth O(log N) on near-chain SLAM graphs instead of the O(N)
+    chains min-degree produces). That balance is what the level-batched TPU
+    supernodal kernels need: few wide levels instead of thousands of narrow
+    ones. Leaves (<= leaf_size) fall back to local min-degree.
+
+    Native C++ implementation (native/nd_order.cpp) when a compiler is
+    available — BFS with tiny frontiers is Python-call-bound on near-chain
+    graphs; the numpy fallback below is identical in structure.
+    """
+    n = indptr.shape[0] - 1
+    lib = _load_native("nd_order")
+    if lib is not None and n > 0:
+        indptr64 = np.ascontiguousarray(indptr, np.int64)
+        indices64 = np.ascontiguousarray(indices, np.int64)
+        perm = np.zeros(n, np.int64)
+        rc = lib.nd_order(
+            ctypes.c_int64(n),
+            indptr64.ctypes.data_as(_I64P),
+            indices64.ctypes.data_as(_I64P),
+            ctypes.c_int64(leaf_size),
+            perm.ctypes.data_as(_I64P),
+        )
+        if rc == 0:
+            return perm
+    order: list = []
+    stamp = np.full(n, -1, np.int64)  # split-id stamps: O(|verts|) resets
+    level = np.full(n, -1, np.int64)  # BFS scratch
+    sid_next = [0]
+
+    def local_md(verts):
+        # extract the subgraph and min-degree order it
+        gid = {int(v): i for i, v in enumerate(verts)}
+        m = len(verts)
+        adj = [[] for _ in range(m)]
+        vset = set(gid)
+        for i, v in enumerate(verts):
+            for p in range(indptr[v], indptr[v + 1]):
+                u = int(indices[p])
+                if u in vset:
+                    adj[i].append(gid[u])
+        sub_ptr = np.zeros(m + 1, np.int64)
+        for i in range(m):
+            sub_ptr[i + 1] = sub_ptr[i] + len(adj[i])
+        sub_idx = np.zeros(sub_ptr[-1], np.int64)
+        for i in range(m):
+            sub_idx[sub_ptr[i]:sub_ptr[i + 1]] = sorted(adj[i])
+        sub_perm = min_degree_ordering(sub_ptr, sub_idx)
+        order.extend(int(verts[q]) for q in sub_perm)
+
+    stack = [(np.arange(n, dtype=np.int64), False)]
+    # explicit stack with post-order emission: (verts, emit_separator)
+    while stack:
+        verts, sep = stack.pop()
+        if sep:
+            order.extend(int(v) for v in verts)
+            continue
+        if len(verts) <= leaf_size:
+            local_md(verts)
+            continue
+        sid = sid_next[0]
+        sid_next[0] += 1
+        stamp[verts] = sid
+        src = _pseudo_peripheral(indptr, indices, stamp, sid, level, verts)
+        _bfs_levels(indptr, indices, stamp, sid, level, verts, src)
+        lv = level[verts]
+        unreached = verts[lv < 0]
+        reached = verts[lv >= 0]
+        if unreached.size:  # disconnected: split by component reach
+            stack.append((unreached, False))
+            stack.append((reached, False))
+            continue
+        lmax = lv.max()
+        if lmax < 2:  # tiny diameter: no useful separator
+            local_md(verts)
+            continue
+        # candidate separator levels: the 25-75% mass window; pick the
+        # NARROWEST level there (loop closures fatten arbitrary levels —
+        # the narrow ones are the real bottlenecks)
+        widths = np.bincount(lv, minlength=lmax + 1)
+        csum = np.cumsum(widths)
+        lo = int(np.searchsorted(csum, len(verts) // 4))
+        hi = int(np.searchsorted(csum, (3 * len(verts)) // 4))
+        lo = max(1, min(lo, lmax - 1))
+        hi = max(lo, min(hi, lmax - 1))
+        mid = lo + int(np.argmin(widths[lo:hi + 1]))
+        lvv = level[verts]
+        S0 = verts[lvv == mid]
+        # shrink: only level-mid vertices adjacent to level mid+1 actually
+        # separate; the rest join A (stamp check: `level` is shared scratch,
+        # stale sibling values must not count)
+        keep = np.zeros(len(S0), bool)
+        for i, v in enumerate(S0):
+            nb = indices[indptr[v]:indptr[v + 1]]
+            if np.any((level[nb] == mid + 1) & (stamp[nb] == sid)):
+                keep[i] = True
+        S = S0[keep]
+        A = np.concatenate([verts[lvv < mid], S0[~keep]])
+        B = verts[lvv > mid]
+        # emit order: A, B, then S (LIFO stack: push S first)
+        stack.append((S, True))
+        if B.size:
+            stack.append((B, False))
+        if A.size:
+            stack.append((A, False))
+    perm = np.asarray(order, np.int64)
+    assert perm.shape[0] == n and np.unique(perm).shape[0] == n
+    return perm
+
+
+def constrained_ordering(indptr: np.ndarray, indices: np.ndarray,
+                         last_mask: np.ndarray,
+                         method: str = "md") -> np.ndarray:
+    """Constrained fill-reducing ordering: variables with last_mask=True are
+    eliminated LAST (GTSAM's Ordering::ColamdConstrainedLast — the
+    landmarks-last ordering for SLAM, which confines landmark fill to the
+    trailing arrowhead instead of scattering it through the trajectory).
+
+    The non-constrained subgraph is ordered by `method` ("md" min-degree or
+    "nd" nested dissection); the constrained group follows in min-degree
+    order of its own subgraph.
+    """
+    n = indptr.shape[0] - 1
+    last_mask = np.asarray(last_mask, bool)
+    first = np.where(~last_mask)[0]
+    last = np.where(last_mask)[0]
+
+    def sub_order(verts):
+        if verts.size == 0:
+            return verts
+        gid = np.full(n, -1, np.int64)
+        gid[verts] = np.arange(verts.size)
+        adj = [[] for _ in range(verts.size)]
+        for i, v in enumerate(verts):
+            for p in range(indptr[v], indptr[v + 1]):
+                u = gid[indices[p]]
+                if u >= 0:
+                    adj[i].append(int(u))
+        ptr = np.zeros(verts.size + 1, np.int64)
+        for i in range(verts.size):
+            ptr[i + 1] = ptr[i] + len(adj[i])
+        idx = np.zeros(ptr[-1], np.int64)
+        for i in range(verts.size):
+            idx[ptr[i]:ptr[i + 1]] = sorted(adj[i])
+        if method == "nd":
+            sp = nested_dissection_ordering(ptr, idx)
+        else:
+            sp = min_degree_ordering(ptr, idx)
+        return verts[sp]
+
+    return np.concatenate([sub_order(first), sub_order(last)])
+
+
+def fill_of(indptr, indices, perm) -> int:
+    """Fill-in (extra factor blocks) of an ordering — for comparing
+    orderings; thin wrapper over symbolic_factor."""
+    _, _, fill = symbolic_factor(indptr, indices, perm)
+    return fill
 
 
 def symbolic_factor(indptr, indices, perm) -> Tuple[list, np.ndarray, int]:

@@ -35,11 +35,130 @@ from ..graph.graph import Graph
 from . import order as order_mod
 from . import smallblock as sb
 
+# auto mode: beyond this many etree levels, Python-unrolled level tracing
+# makes compile time the bottleneck -> switch to the device-side stream
+_STREAM_LEVELS = 48
+# stream chunk sizes: big chunks carry the bulk work, small chunks the
+# per-level tails (waste < _CS blocks per level per op type)
+_CS = 64
+_CB_CAP = 2048
+
+
+def _run_ordering(indptr, indices, ordering: str):
+    if ordering == "md":
+        return order_mod.min_degree_ordering(indptr, indices)
+    if ordering == "nd":
+        return order_mod.nested_dissection_ordering(indptr, indices)
+    raise ValueError(f"unknown ordering {ordering!r}")
+
+
+def _ladder(per_level):
+    """Geometric chunk-size ladder for one op type, from its per-level work
+    distribution: [top, top/4, ..., _CS]. Bulk work rides the big chunks;
+    each level's tail costs at most one chunk per rung (waste < _CS plus a
+    fraction of the tail)."""
+    works = [len(x) for x in per_level if len(x)]
+    if not works:
+        return [_CS]
+    top = 1 << (int(max(works)) - 1).bit_length()
+    top = max(_CS, min(_CB_CAP, top))
+    sizes = []
+    c = top
+    while c > _CS:
+        sizes.append(c)
+        c //= 4
+    sizes.append(_CS)
+    return sizes
+
+
+def _pack_multi(per_level, pad_row):
+    """Chunk one op type's per-level row lists onto its size ladder.
+
+    per_level: list (levels) of (w, k) int arrays — rows to process at that
+    level, in order. Greedy largest-fit; the final sub-_CS tail is padded
+    with `pad_row` (indices pointing at the zero/trash slots, so padded
+    lanes compute exact no-ops).
+
+    Returns (sizes, arrays: per size (S_i, k, C_i) int32,
+             sched: per level list of (size_idx, chunk_idx)).
+    """
+    pad_row = np.asarray(pad_row, np.int32)
+    sizes = _ladder(per_level)
+    chunks: list = [[] for _ in sizes]
+    sched = []
+    for rows in per_level:
+        lv: list = []
+        if len(rows):
+            rows = np.asarray(rows, np.int32).reshape(len(rows), -1)
+            w, i = len(rows), 0
+            while i < w:
+                rem = w - i
+                si = next((s for s, C in enumerate(sizes) if C <= rem),
+                          len(sizes) - 1)
+                C = sizes[si]
+                take = rows[i:i + C]
+                i += len(take)
+                if len(take) < C:
+                    take = np.concatenate(
+                        [take, np.tile(pad_row[None], (C - len(take), 1))], 0
+                    )
+                lv.append((si, len(chunks[si])))
+                chunks[si].append(take)
+        sched.append(lv)
+    arrays = []
+    for si, C in enumerate(sizes):
+        if not chunks[si]:
+            chunks[si].append(np.tile(pad_row[None], (C, 1)))
+        arrays.append(np.stack(chunks[si]).transpose(0, 2, 1)
+                      .astype(np.int32))
+    return sizes, arrays, sched
+
+
+class _Stream:
+    """Host-side instruction stream: opcodes + per-branch schedule arrays.
+
+    Everything is NUMPY — the arrays become jit-trace constants inside the
+    kernels (never eager device arrays: this object is cached across traces,
+    and jnp arrays created inside one trace would leak tracers into the
+    next)."""
+
+    def __init__(self, opcodes, arg_idx, branches):
+        self.opcodes = np.asarray(opcodes, np.int32)
+        self.arg_idx = np.asarray(arg_idx, np.int32)
+        # branches: list of (kind, sched_array (S, k, C))
+        self.branches = branches
+        self.n_steps = len(opcodes)
+
+
+def _build_branched(kinds_rows_pads):
+    """kinds_rows_pads: list of (kind, per_level_rows, pad_row). Returns
+    (branches [(kind, array)], per-kind sched lists aligned with input)."""
+    branches = []
+    scheds = []
+    for kind, per_level, pad in kinds_rows_pads:
+        base = len(branches)
+        _, arrays, sched = _pack_multi(per_level, pad)
+        for arr in arrays:
+            branches.append((kind, arr))
+        scheds.append([[(base + si, ci) for si, ci in lv] for lv in sched])
+    return branches, scheds
+
 
 class SupernodalSolver:
-    """Build once per graph structure; `solver` property plugs into lm_solve."""
+    """Build once per graph structure; `solver` property plugs into lm_solve.
 
-    def __init__(self, graph: Graph, values):
+    `ordering`: "md" (min-degree, lowest fill — best for small graphs) or
+    "nd" (nested dissection — balanced elimination tree, the right choice
+    for large graphs where etree DEPTH is the TPU bottleneck).
+    `mode`: "unrolled" traces one XLA op sequence per level (fastest at
+    runtime for few levels, compile time O(levels)); "stream" runs one
+    `lax.fori_loop` over a device-side chunked instruction stream (compile
+    time O(1) in levels — the path that removes the variable-count cap);
+    "auto" picks by level count.
+    """
+
+    def __init__(self, graph: Graph, values, ordering: str = "md",
+                 mode: str = "auto"):
         self.groups = list(values.keys())
         dims = {g: graph.manifolds[g].dim for g in self.groups}
         self.b = max(dims.values())
@@ -62,15 +181,24 @@ class SupernodalSolver:
         self.var_dim = var_dim
 
         indptr, indices, _ = order_mod.adjacency_from_graph(graph, values)
-        perm = order_mod.min_degree_ordering(indptr, indices)
+        perm = _run_ordering(indptr, indices, ordering)
         struct, parent, _fill = order_mod.symbolic_factor(indptr, indices, perm)
         self.perm = perm  # perm[pos] = variable
         pos = np.zeros(n, np.int64)
         pos[perm] = np.arange(n)
         self.pos = pos
         self._build_numeric_schedules(struct, parent)
+        self._set_mode(mode)
         self._build_assembly(graph)
         self._build_pad_eye(var_dim)
+
+    def _set_mode(self, mode: str):
+        if mode == "auto":
+            mode = "stream" if len(self.levels) > _STREAM_LEVELS else "unrolled"
+        if mode not in ("unrolled", "stream"):
+            raise ValueError(f"unknown schedule mode {mode!r}")
+        self._mode = mode
+        self._stream = None  # built lazily on first factorize
 
     def _build_numeric_schedules(self, struct, parent):
         """Per-level static schedules for the block factorization/solves.
@@ -248,7 +376,166 @@ class SupernodalSolver:
         blocks, g = self.assemble_raw(graph, lins, values)
         return self.add_damping(blocks, lam), g
 
+    # --------------------------------------------------- stream scheduling
+    def _get_stream(self):
+        """Build (once) the chunked device-side instruction streams.
+
+        Factorization stream opcodes: 0/1 UPD big/small, 2/3 CHOL, 4/5 TRSM.
+        Solve streams (forward and backward): 0/1 GEMV, 2/3 DIAG-solve.
+        Padding rows point at dedicated block slots Z (zero, id n_blocks) and
+        T (identity 'trash', id n_blocks+1) and rhs row TY (id n), so padded
+        lanes compute exact no-ops: T -= Z@Z^T keeps T = I, chol(I) = I,
+        trsm(I, I) = I, y[TY] -= Z@y[TY] keeps y[TY] = 0.
+        """
+        if self._stream is not None:
+            return self._stream
+        Z, T, TY = self.n_blocks, self.n_blocks + 1, self.n
+        L = len(self.levels)
+
+        upd_rows = [np.stack(u, 1) if len(u[0]) else np.zeros((0, 3))
+                    for u in self.upd_sched]
+        chol_rows = [c[0].reshape(-1, 1) for c in self.col_sched]
+        trsm_rows = [np.stack([c[1], c[2]], 1) if len(c[1])
+                     else np.zeros((0, 2)) for c in self.col_sched]
+        fwd_rows = [np.stack(f, 1) if len(f[0]) else np.zeros((0, 3))
+                    for f in self.fwd_sched]
+        bwd_rows = [np.stack(bb, 1) if len(bb[0]) else np.zeros((0, 3))
+                    for bb in self.bwd_sched]
+        # diag-solve rows carry separate block / rhs indices (pads differ)
+        diag_rows = [np.stack([c[0], c[0]], 1) for c in self.col_sched]
+
+        fact_br, (upd_lv, chol_lv, trsm_lv) = _build_branched([
+            ("upd", upd_rows, (T, Z, Z)),
+            ("chol", chol_rows, (T,)),
+            ("trsm", trsm_rows, (T, T)),
+        ])
+        fwd_br, (fg_lv, fdg_lv) = _build_branched([
+            ("gemv", fwd_rows, (TY, Z, TY)),
+            ("diag", diag_rows, (T, TY)),
+        ])
+        bwd_br, (bg_lv, bdg_lv) = _build_branched([
+            ("gemv", bwd_rows, (TY, Z, TY)),
+            ("diag", diag_rows, (T, TY)),
+        ])
+
+        def seq(level_order, phase_lists):
+            ops, args = [], []
+            for li in level_order:
+                for phases in phase_lists:
+                    for op, ci in phases[li]:
+                        ops.append(op)
+                        args.append(ci)
+            return ops, args
+
+        self._stream = (
+            _Stream(*seq(range(L), [upd_lv, chol_lv, trsm_lv]), fact_br),
+            _Stream(*seq(range(L), [fg_lv, fdg_lv]), fwd_br),
+            _Stream(*seq(reversed(range(L)), [bg_lv, bdg_lv]), bwd_br),
+        )
+        return self._stream
+
+    def _factorize_stream(self, blocks):
+        fact, _, _ = self._get_stream()
+        dtype = blocks.dtype
+        pad = jnp.stack([jnp.zeros((self.b, self.b), dtype),
+                         jnp.eye(self.b, dtype=dtype)])
+        blocks = jnp.concatenate([blocks, pad], 0)
+
+        def upd(sched):
+            def f(blocks, ai):
+                dst, s1, s2 = sched[ai]
+                u = sb.matmul_hp(blocks[s1],
+                                 jnp.swapaxes(blocks[s2], -1, -2))
+                return blocks.at[dst].add(-u)
+            return f
+
+        def chol(sched):
+            def f(blocks, ai):
+                cols = sched[ai][0]
+                return blocks.at[cols].set(sb.cholesky(blocks[cols]),
+                                           unique_indices=True)
+            return f
+
+        def trsm(sched):
+            def f(blocks, ai):
+                offs, od = sched[ai]
+                X = jnp.swapaxes(
+                    sb.solve_lower(blocks[od],
+                                   jnp.swapaxes(blocks[offs], -1, -2)),
+                    -1, -2,
+                )
+                return blocks.at[offs].set(X, unique_indices=True)
+            return f
+
+        mk = {"upd": upd, "chol": chol, "trsm": trsm}
+        branches = [mk[kind](jnp.asarray(arr)) for kind, arr in fact.branches]
+        opcodes = jnp.asarray(fact.opcodes)
+        arg_idx = jnp.asarray(fact.arg_idx)
+
+        def body(i, blocks):
+            return jax.lax.switch(opcodes[i], branches, blocks, arg_idx[i])
+
+        return jax.lax.fori_loop(0, fact.n_steps, body, blocks)
+
+    def _solve_stream(self, blocks, rhs):
+        """blocks: factorize output INCLUDING the two pad slots."""
+        _, fwd, bwd = self._get_stream()
+        y = jnp.concatenate(
+            [rhs, jnp.zeros((1, self.b), rhs.dtype)], 0
+        )
+
+        def gemv(spec):
+            def outer(sched):
+                def f(y, ai):
+                    dst, sblk, scol = sched[ai]
+                    c = jnp.einsum(spec, blocks[sblk], y[scol],
+                                   precision="highest")
+                    return y.at[dst].add(-c)
+                return f
+            return outer
+
+        def diag(solve):
+            def outer(sched):
+                def f(y, ai):
+                    cb, cy = sched[ai]
+                    return y.at[cy].set(
+                        solve(blocks[cb], y[cy][..., None])[..., 0]
+                    )
+                return f
+            return outer
+
+        def run(stream, mk):
+            branches = [mk[kind](jnp.asarray(arr))
+                        for kind, arr in stream.branches]
+            opcodes = jnp.asarray(stream.opcodes)
+            arg_idx = jnp.asarray(stream.arg_idx)
+
+            def body(i, y):
+                return jax.lax.switch(opcodes[i], branches, y, arg_idx[i])
+
+            return jax.lax.fori_loop(0, stream.n_steps, body, y)
+
+        y = run(fwd, {"gemv": gemv("mij,mj->mi"),
+                      "diag": diag(sb.solve_lower)})
+        y = run(bwd, {"gemv": gemv("mji,mj->mi"),
+                      "diag": diag(sb.solve_upper_from_lower)})
+        return y[:-1]
+
     def factorize(self, blocks):
+        """A -> L over the level schedules. In stream mode the result keeps
+        two extra pad slots (zero + identity) consumed by the stream solve;
+        slice [:n_blocks] to compare against the unrolled factor."""
+        if self._mode == "stream":
+            return self._factorize_stream(blocks)
+        return self._factorize_unrolled(blocks)
+
+    def solve_factored(self, blocks, rhs):
+        """rhs (n, b) in elimination positions -> x (n, b)."""
+        if self._mode == "stream":
+            return self._solve_stream(blocks, rhs)
+        return self._solve_unrolled(blocks, rhs)
+
+    def _factorize_unrolled(self, blocks):
         """In-place left-looking level-batched factorization: A -> L."""
         for (u_dst, u_s1, u_s2), (cols, offs, offs_diag) in zip(
             self.upd_sched, self.col_sched
@@ -270,8 +557,7 @@ class SupernodalSolver:
                 blocks = blocks.at[offs].set(X)
         return blocks
 
-    def solve_factored(self, blocks, rhs):
-        """rhs (n, b) in elimination positions -> x (n, b)."""
+    def _solve_unrolled(self, blocks, rhs):
         y = rhs
         for (dst, src_blk, src_col), (cols, _, _) in zip(
             self.fwd_sched, self.col_sched
