@@ -369,6 +369,13 @@ def bcr_solve_fused(D, U, r, min_pallas_n: int = 8192, tile_m: int = 16,
     smaller levels (and the recursion base) use the XLA unrolled path.
     min_pallas_n must be >= 64*tile_m so plane shapes stay tile-aligned.
 
+    Supports b <= 12 — covering SE(3) pose+twist chain states (b = 12, the
+    3D workloads of BASELINE configs 4/5). b in (8, 12] drops to tile_m=8
+    (the f32 sublane minimum): the plane working set is b*b rows per array
+    and VMEM double-buffering overflows at tile_m=16. WNOJ b = 18 stays on
+    the XLA path (3x the plane rows and ~b^3 unrolled VPU ops exceed both
+    VMEM and sane Mosaic compile times; revisit as an MXU-tile kernel).
+
     version=2 (default) folds the neighbor-shifted subtractions into the
     kernels via sequential-grid SMEM carries (one kernel per level each
     way); version=1 keeps the shift/subtract glue in XLA.
@@ -378,8 +385,10 @@ def bcr_solve_fused(D, U, r, min_pallas_n: int = 8192, tile_m: int = 16,
     N, b, _ = D.shape
     k = r.shape[-1]
     dtype = D.dtype
-    if N < 2 * min_pallas_n or dtype != jnp.float32 or b > 8:
+    if N < 2 * min_pallas_n or dtype != jnp.float32 or b > 12:
         return tridiag.bcr_solve(D, U, r)
+    if b > 8:
+        tile_m = min(tile_m, 8)
 
     m = 1 << (N - 1).bit_length()
     if m != N:

@@ -114,6 +114,24 @@ def _pack_multi(per_level, pad_row):
     return sizes, arrays, sched
 
 
+def _collapse_sorted(u, dst):
+    """Collapse duplicate destinations in a dst-SORTED chunk: returns
+    (u2, dst2) with one summed contribution per distinct dst — the scatter
+    then carries sorted near-unique indices instead of colliding ones
+    (XLA TPU scatter serializes on collisions). Empty tail segments get a
+    copy of the last dst with a zero payload (harmless add)."""
+    C = dst.shape[0]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), dst[1:] != dst[:-1]]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    u2 = jax.ops.segment_sum(u, seg, num_segments=C,
+                             indices_are_sorted=True)
+    start = jnp.nonzero(first, size=C, fill_value=C - 1)[0]
+    dst2 = dst[start]
+    return u2, dst2
+
+
 class _Stream:
     """Host-side instruction stream: opcodes + per-branch schedule arrays.
 
@@ -392,17 +410,32 @@ class SupernodalSolver:
         Z, T, TY = self.n_blocks, self.n_blocks + 1, self.n
         L = len(self.levels)
 
-        upd_rows = [np.stack(u, 1) if len(u[0]) else np.zeros((0, 3))
-                    for u in self.upd_sched]
-        chol_rows = [c[0].reshape(-1, 1) for c in self.col_sched]
-        trsm_rows = [np.stack([c[1], c[2]], 1) if len(c[1])
-                     else np.zeros((0, 2)) for c in self.col_sched]
-        fwd_rows = [np.stack(f, 1) if len(f[0]) else np.zeros((0, 3))
-                    for f in self.fwd_sched]
-        bwd_rows = [np.stack(bb, 1) if len(bb[0]) else np.zeros((0, 3))
-                    for bb in self.bwd_sched]
+        def by_dst(rows_list):
+            # sort each level's rows by destination: duplicate-dst updates
+            # become contiguous, so the kernels can collapse them with a
+            # sorted segment_sum BEFORE the scatter (TPU scatter serializes
+            # on colliding indices — measured 9 s vs the ~30 ms FLOP bound
+            # on a 50k-state graph before this)
+            out = []
+            for rows in rows_list:
+                if len(rows):
+                    order = np.argsort(rows[:, 0], kind="stable")
+                    rows = rows[order]
+                out.append(rows)
+            return out
+
+        upd_rows = by_dst([np.stack(u, 1) if len(u[0]) else np.zeros((0, 3))
+                           for u in self.upd_sched])
+        chol_rows = by_dst([c[0].reshape(-1, 1) for c in self.col_sched])
+        trsm_rows = by_dst([np.stack([c[1], c[2]], 1) if len(c[1])
+                            else np.zeros((0, 2)) for c in self.col_sched])
+        fwd_rows = by_dst([np.stack(f, 1) if len(f[0]) else np.zeros((0, 3))
+                           for f in self.fwd_sched])
+        bwd_rows = by_dst([np.stack(bb, 1) if len(bb[0]) else np.zeros((0, 3))
+                           for bb in self.bwd_sched])
         # diag-solve rows carry separate block / rhs indices (pads differ)
-        diag_rows = [np.stack([c[0], c[0]], 1) for c in self.col_sched]
+        diag_rows = by_dst([np.stack([c[0], c[0]], 1)
+                            for c in self.col_sched])
 
         fact_br, (upd_lv, chol_lv, trsm_lv) = _build_branched([
             ("upd", upd_rows, (T, Z, Z)),
@@ -446,14 +479,15 @@ class SupernodalSolver:
                 dst, s1, s2 = sched[ai]
                 u = sb.matmul_hp(blocks[s1],
                                  jnp.swapaxes(blocks[s2], -1, -2))
-                return blocks.at[dst].add(-u)
+                u2, dst2 = _collapse_sorted(u, dst)
+                return blocks.at[dst2].add(-u2, indices_are_sorted=True)
             return f
 
         def chol(sched):
             def f(blocks, ai):
                 cols = sched[ai][0]
                 return blocks.at[cols].set(sb.cholesky(blocks[cols]),
-                                           unique_indices=True)
+                                           indices_are_sorted=True)
             return f
 
         def trsm(sched):
@@ -464,7 +498,7 @@ class SupernodalSolver:
                                    jnp.swapaxes(blocks[offs], -1, -2)),
                     -1, -2,
                 )
-                return blocks.at[offs].set(X, unique_indices=True)
+                return blocks.at[offs].set(X, indices_are_sorted=True)
             return f
 
         mk = {"upd": upd, "chol": chol, "trsm": trsm}
@@ -490,7 +524,8 @@ class SupernodalSolver:
                     dst, sblk, scol = sched[ai]
                     c = jnp.einsum(spec, blocks[sblk], y[scol],
                                    precision="highest")
-                    return y.at[dst].add(-c)
+                    c2, dst2 = _collapse_sorted(c, dst)
+                    return y.at[dst2].add(-c2, indices_are_sorted=True)
                 return f
             return outer
 
@@ -499,7 +534,8 @@ class SupernodalSolver:
                 def f(y, ai):
                     cb, cy = sched[ai]
                     return y.at[cy].set(
-                        solve(blocks[cb], y[cy][..., None])[..., 0]
+                        solve(blocks[cb], y[cy][..., None])[..., 0],
+                        indices_are_sorted=True,
                     )
                 return f
             return outer

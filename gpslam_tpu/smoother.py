@@ -98,6 +98,15 @@ class SmootherConfig:
     iters_per_step: int = 2
     lambda_fixed: float = 1e-6  # small fixed damping for the warm-started GN
     odom_sigma_th: float = 0.0  # se2 model: rotation odometry sigma (0 -> odom_sigma)
+    # Fluid-relinearization analog (reference: ISAM2Params.relinearizeThreshold,
+    # SURVEY.md §2.2 S11): when iters_max_per_step > iters_per_step, each
+    # step may take up to iters_max_per_step damped iterations but stops as
+    # soon as the window chi^2 improves by less than relinearize_tol
+    # (relative) — extra relinearizations happen exactly when the window
+    # moved far from its linearization point (loop closures, fast turns),
+    # and cost nothing in the steady state.
+    iters_max_per_step: int = 0  # 0 -> = iters_per_step (fixed effort)
+    relinearize_tol: float = 1e-3
 
 
 class FixedLagSmoother:
@@ -400,7 +409,13 @@ class FixedLagSmoother:
         def retract_fn(vals, delta):
             return graphlib.retract_all(graph, vals, delta)
 
-        cfg_lm = LMConfig(max_iterations=iters, lambda_init=cfg.lambda_fixed)
+        iters_max = max(iters, cfg.iters_max_per_step)
+        cfg_lm = LMConfig(
+            max_iterations=iters_max, lambda_init=cfg.lambda_fixed,
+            relative_error_tol=(cfg.relinearize_tol
+                                if iters_max > iters else
+                                LMConfig.relative_error_tol),
+        )
         vals, stats = _lm_loop(
             self._values(s), error_fn, step_fn, retract_fn, cfg_lm, self.dtype
         )
@@ -426,6 +441,43 @@ class FixedLagSmoother:
             jnp.asarray(rng_lm, jnp.int32),
             jnp.asarray(rng_valid, self.dtype),
         )
+
+    def run_steps(self, s: SmootherState, odom_seq, rng_tau_seq, rng_z_seq,
+                  rng_lm_seq, rng_valid_seq):
+        """Advance K buffered steps in ONE device dispatch — a `lax.scan`
+        over the per-step marginalize/roll/solve, killing the per-step host
+        round-trip (the reference's iSAM2 never leaves the process either;
+        SURVEY.md §3.2. Measured r1: 39.4 ms/step of which ~22 ms was tunnel
+        RTT — amortized over K the RTT vanishes).
+
+        odom_seq: (K, d) (or pytree of (K, ...) for se3);
+        rng_*_seq: (K, ranges_per_step). Returns (state, outs) with outs =
+        dict of stacked per-step results: head_x (K, d), head_v (K, d),
+        chi2 (K,). One compile per distinct K (use a fixed chunk size).
+        """
+        if not hasattr(self, "_run_cache"):
+            self._run_cache = jax.jit(self._scan_steps)
+        return self._run_cache(
+            s,
+            jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, self.dtype), odom_seq
+            ),
+            jnp.asarray(rng_tau_seq, self.dtype),
+            jnp.asarray(rng_z_seq, self.dtype),
+            jnp.asarray(rng_lm_seq, jnp.int32),
+            jnp.asarray(rng_valid_seq, self.dtype),
+        )
+
+    def _scan_steps(self, s, odom_seq, tau_seq, z_seq, lm_seq, valid_seq):
+        def body(st, inp):
+            odo, tau, z, lm, val = inp
+            st2, out = self._step_impl(st, odo, tau, z, lm, val)
+            return st2, (out["head_x"], out["head_v"], out["chi2"])
+
+        s, (hx, hv, chi2) = jax.lax.scan(
+            body, s, (odom_seq, tau_seq, z_seq, lm_seq, valid_seq)
+        )
+        return s, {"head_x": hx, "head_v": hv, "chi2": chi2}
 
     def _step_impl(self, s, odom_z, rng_tau, rng_z, rng_lm, rng_valid):
         cfg = self.config

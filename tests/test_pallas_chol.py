@@ -73,7 +73,8 @@ def test_chain_solver_pallas_flag_matches():
                                    atol=5e-4, rtol=5e-3)
 
 
-@pytest.mark.parametrize("n,b,k", [(3000, 4, 3), (2048, 4, 1), (1500, 3, 2)])
+@pytest.mark.parametrize("n,b,k", [(3000, 4, 3), (2048, 4, 1), (1500, 3, 2),
+                                   (1536, 12, 1), (1280, 12, 6)])
 def test_bcr_fused_level_kernels_match_xla(n, b, k):
     """Fused plane-major Pallas BCR level kernels (interpret mode) == XLA."""
     import jax.numpy as jnp
