@@ -254,17 +254,31 @@ def lm_solve_time_sharded(
     boundary send-back, and the SPIKE gather; the default keeps the XLA
     collectives (the mandated fallback). rdma_interpret runs the ring
     kernels in interpret mode (CPU-mesh testing).
+
+    Arbitrary trajectory lengths are accepted: if n_states is not divisible
+    by n_dev (or chunks would be shorter than the SPIKE minimum of 4), the
+    trajectory is padded with copies of the last state. Padded states touch
+    no factors (their Hessian rows are identity-anchored inside the solve,
+    their gradient rows are zero, so their update is exactly zero and chi^2
+    is untouched); results are trimmed back before returning.
     """
     from ..ops import chain as chain_ops
     from ..solve.lm import _lm_loop
 
     n_dev = mesh.devices.size
     N = jax.tree_util.tree_leaves(values0[state_group])[0].shape[0]
-    if N % n_dev:
-        raise ValueError(f"n_states {N} not divisible by {n_dev} devices")
-    m = N // n_dev
-    if m < 4:
-        raise ValueError(f"chunk length {m} < 4")
+    N_orig = N
+    m = max(4, -(-N // n_dev))
+    if m * n_dev != N:
+        pad = m * n_dev - N
+        values0 = dict(values0)
+        values0[state_group] = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], 0
+            ),
+            values0[state_group],
+        )
+        N = m * n_dev
     if lm_group is not None and lm_group not in graph.manifolds:
         lm_group = None
     chain_ops.build_role_table(graph, state_group, lm_group)  # structure check
@@ -364,6 +378,12 @@ def lm_solve_time_sharded(
             U = U.at[m - 1].multiply(
                 jnp.where(c_id == n_dev - 1, 0.0, 1.0).astype(dtype)
             )
+            if N_orig != N:
+                # identity-anchor padded states (no factors touch them, so
+                # their D rows are zero and their g rows are zero: the
+                # anchored solve yields delta == 0 there)
+                is_pad = (c_id * m + jnp.arange(m) >= N_orig).astype(dtype)
+                D = D + is_pad[:, None, None] * jnp.eye(b_dim, dtype=dtype)
             lam = jnp.asarray(lam, dtype)
             if lm_group is None:
                 D_damped = D + lam * jnp.eye(b_dim, dtype=dtype)
@@ -392,4 +412,10 @@ def lm_solve_time_sharded(
         return _lm_loop(values_loc, error_fn, step_fn, retract_fn, config,
                         dtype)
 
-    return jax.jit(run)(gp, values0)
+    vals_out, stats = jax.jit(run)(gp, values0)
+    if N_orig != N:
+        vals_out = dict(vals_out)
+        vals_out[state_group] = jax.tree_util.tree_map(
+            lambda a: a[:N_orig], vals_out[state_group]
+        )
+    return vals_out, stats

@@ -37,9 +37,61 @@ def test_time_sharded_lm_matches_single_device():
     )
 
 
-def test_time_sharded_rejects_bad_partition():
-    data = synthetic.make_linear2d_range_slam(n_states=30, seed=1)
+def test_time_sharded_pads_arbitrary_length():
+    """n_states not divisible by n_dev: padded states are identity-anchored
+    and trimmed back; result matches the single-device chain solve."""
+    data = synthetic.make_linear2d_range_slam(
+        n_states=61, ranges_per_interval=0.5, seed=1
+    )
     graph, values = linear2d.build(data, dtype=jnp.float32)
     mesh = make_mesh(4, axis_name="time")
-    with pytest.raises(ValueError, match="not divisible"):
-        lm_solve_time_sharded(graph, values, mesh, LMConfig())
+    vals_sh, st_sh = lm_solve_time_sharded(
+        graph, values, mesh, LMConfig(max_iterations=30)
+    )
+    assert vals_sh["state"][0].shape[0] == 61
+    solver = chain.make_chain_solver(graph)
+    vals_1, st_1 = lm_solve(graph, values, LMConfig(max_iterations=30),
+                            solver=solver)
+    assert float(st_sh.error) == pytest.approx(float(st_1.error), rel=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(vals_sh["state"][0]), np.asarray(vals_1["state"][0]),
+        atol=5e-3,
+    )
+
+
+def test_time_sharded_short_chain_pads_to_min_chunk():
+    """n_states < 4*n_dev forces chunk-length padding (m = 4)."""
+    data = synthetic.make_linear2d_range_slam(
+        n_states=13, ranges_per_interval=0.5, seed=5
+    )
+    graph, values = linear2d.build(data, dtype=jnp.float32)
+    mesh = make_mesh(4, axis_name="time")
+    vals_sh, st_sh = lm_solve_time_sharded(
+        graph, values, mesh, LMConfig(max_iterations=30)
+    )
+    assert vals_sh["state"][0].shape[0] == 13
+    solver = chain.make_chain_solver(graph)
+    vals_1, st_1 = lm_solve(graph, values, LMConfig(max_iterations=30),
+                            solver=solver)
+    assert float(st_sh.error) == pytest.approx(float(st_1.error), rel=1e-3)
+
+
+def test_time_sharded_se3_wnoj():
+    """SE(3) WNOJ pose graph (b=18) through the time-sharded LM, with a
+    non-divisible length exercising the padding path."""
+    from gpslam_tpu.models import pose3_slam
+
+    data = synthetic.make_se3_pose_graph(n_states=30, seed=3)
+    graph, values = pose3_slam.build(data, dtype=jnp.float32, prior="wnoj")
+    mesh = make_mesh(4, axis_name="time")
+    vals_sh, st_sh = lm_solve_time_sharded(
+        graph, values, mesh, LMConfig(max_iterations=30), lm_group=None
+    )
+    solver = chain.make_chain_solver(graph, lm_group=None)
+    vals_1, st_1 = lm_solve(graph, values, LMConfig(max_iterations=30),
+                            solver=solver)
+    assert float(st_sh.error) == pytest.approx(float(st_1.error), rel=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(vals_sh["state"][0][0]), np.asarray(vals_1["state"][0][0]),
+        atol=5e-3,
+    )
