@@ -11,12 +11,24 @@ Reports ONE JSON line:
   value        steady-state wall-clock seconds of the full LM solve on the
                default (TPU) backend
   unit         s
-  vs_baseline  speedup vs the same solve on this host's CPU backend
-               (stand-in denominator until a GTSAM reference measurement is
-               possible; BASELINE.md documents the target >=10x vs C++ CPU)
+  vs_baseline  speedup vs the CPU reference denominator: an f64 scipy
+               sparse-direct (SuperLU) LM on this host running the SAME
+               problem to the SAME chi^2 with the same GTSAM-default LM
+               schedule (bench/cpu_reference.py documents the methodology —
+               the closest GTSAM stand-in available in this zero-egress
+               environment; BASELINE.md records the target >=10x vs C++ CPU).
+               The denominator runs in a subprocess on the JAX CPU backend
+               with x64 enabled.
+
+Extras include the same solve on this host's JAX-CPU backend (the round-1
+denominator, kept for continuity), RTT-amortized multiseed throughput with
+genuinely perturbed seeds, and the calibrated chip context (22 ms dispatch
+RTT floor, 242 GB/s HBM, 24 TF f32 — BASELINE.md).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -65,6 +77,26 @@ def count_factors(graph):
     return int(sum(b.size for b in graph.batches))
 
 
+def run_cpu_reference(n_states, timeout_s=480):
+    """f64 scipy sparse-direct LM denominator, in a subprocess (needs a
+    fresh interpreter: x64 + CPU platform must be set before tracing).
+    Returns the info dict, or None if unavailable."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "bench", "run_cpu_reference.py"),
+             str(n_states)],
+            capture_output=True, text=True, timeout=timeout_s, cwd=here,
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
 def main():
     graph, values, data = build_problem()
     n_factors = count_factors(graph)
@@ -74,7 +106,13 @@ def main():
     t_dev, stats = time_solve(solve, graph, values)
     backend = jax.devices()[0].platform
 
-    # CPU denominator (same solve, CPU backend), if we're not already on CPU
+    # CPU reference denominator: f64 scipy SuperLU LM, same problem, same
+    # LM schedule, in a subprocess (bench/cpu_reference.py methodology)
+    cpu_ref = run_cpu_reference(9700)
+
+    # secondary denominator: the same JAX solve on this host's CPU backend
+    # (round-1 continuity; our own optimized code, so a HARDER baseline
+    # than a factor-at-a-time C++ library)
     if backend != "cpu":
         cpu = jax.devices("cpu")[0]
         graph_c, values_c = jax.device_put((graph, values), cpu)
@@ -121,11 +159,12 @@ def main():
 
     iters = int(stats.iterations)
     evals_per_s = n_factors * max(iters, 1) * 2 / t_dev  # 2 linearize+error passes
+    t_ref = cpu_ref["wall_s"] if cpu_ref else t_cpu
     result = {
         "metric": "plaza1_scale_lm_wallclock",
         "value": round(t_dev, 4),
         "unit": "s",
-        "vs_baseline": round(t_cpu / t_dev, 3),
+        "vs_baseline": round(t_ref / t_dev, 3),
         "extra": {
             "backend": backend,
             "n_states": 9700,
@@ -134,7 +173,21 @@ def main():
             "chi2_init": float(stats.error0),
             "chi2_final": float(stats.error),
             "converged": bool(stats.converged),
-            "cpu_wallclock_s": round(t_cpu, 4),
+            "cpu_reference": (
+                {
+                    "kind": "f64 scipy SuperLU sparse-direct LM, same problem"
+                            " + LM schedule (bench/cpu_reference.py)",
+                    "wall_s": round(cpu_ref["wall_s"], 4),
+                    "chi2_final": cpu_ref["chi2"],
+                    "iterations": cpu_ref["iterations"],
+                }
+                if cpu_ref else "unavailable (fell back to jax-cpu)"
+            ),
+            "jax_cpu_same_code_s": round(t_cpu, 4),
+            "vs_jax_cpu": round(t_cpu / t_dev, 3),
+            "chip_context": {"dispatch_rtt_ms": 22, "hbm_gbps": 242,
+                             "f32_tflops": 24},
+            "device_time_est_ms": round(max(t_dev * 1e3 - 22.0, 0.0), 1),
             "factor_evals_per_s": int(evals_per_s),
             "multiseed_solves": S,
             "multiseed_total_s": round(t_ms, 4),

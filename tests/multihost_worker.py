@@ -56,6 +56,17 @@ def main():
                                     make_mesh(axis_name="time"), cfg)
     print(f"RESULT time {float(st_t.error):.6f}", flush=True)
 
+    # supernode-sharded general sparse path (P2) on a loop-closure SE(2)
+    # pose graph — per-level frontal psum rides the same gloo transport
+    from gpslam_tpu.models import pose2_slam
+    from gpslam_tpu.parallel import lm_solve_supernodal_sharded
+
+    data_lc = synthetic.make_se2_pose_graph(n_states=30, seed=4)
+    graph_lc, values_lc = pose2_slam.build(data_lc, dtype=jnp.float32)
+    _, st_n = lm_solve_supernodal_sharded(graph_lc, values_lc,
+                                          make_mesh(axis_name="node"), cfg)
+    print(f"RESULT supernode {float(st_n.error):.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

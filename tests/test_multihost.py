@@ -45,6 +45,13 @@ def test_two_process_sharded_solves_match_single_process():
                      solver=chain.make_chain_solver(graph))
     ref = float(st.error)
 
+    from gpslam_tpu.models import pose2_slam
+
+    data_lc = synthetic.make_se2_pose_graph(n_states=30, seed=4)
+    graph_lc, values_lc = pose2_slam.build(data_lc, dtype=jnp.float32)
+    _, st_lc = lm_solve(graph_lc, values_lc, LMConfig(max_iterations=8))
+    ref_sn = float(st_lc.error)
+
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -62,6 +69,9 @@ def test_two_process_sharded_solves_match_single_process():
 
     for out in outs:
         res = _parse(out)
-        assert set(res) == {"factor", "time"}, out[-2000:]
-        for name, val in res.items():
-            assert val == pytest.approx(ref, rel=2e-3), (name, val, ref, out[-1500:])
+        assert set(res) == {"factor", "time", "supernode"}, out[-2000:]
+        for name in ("factor", "time"):
+            assert res[name] == pytest.approx(ref, rel=2e-3), (
+                name, res[name], ref, out[-1500:])
+        assert res["supernode"] == pytest.approx(ref_sn, rel=2e-3), (
+            res["supernode"], ref_sn, out[-1500:])
