@@ -45,7 +45,8 @@ class AmalgamatedSupernodalSolver(SupernodalSolver):
     """
 
     def __init__(self, graph: Graph, values, w_max: int = 4,
-                 ordering: str = "md", mode: str = "auto"):
+                 ordering: str = "md", mode: str = "auto",
+                 dense_tail: int = 0):
         # ---- variable-level setup (mirrors SupernodalSolver) -----------
         self.groups = list(values.keys())
         dims = {g: graph.manifolds[g].dim for g in self.groups}
@@ -126,6 +127,9 @@ class AmalgamatedSupernodalSolver(SupernodalSolver):
         # ---- numeric schedules at panel size B over the supernode tree -
         self.n = n_s
         self.b = w_max * b
+        # dense tail over trailing SUPERNODES (panels) — same switch-to-
+        # dense trick as the base class, at panel granularity
+        self.n_tail = min(max(int(dense_tail), 0), n_s)
         self._build_numeric_schedules(meta_struct, meta_parent)
         self._set_mode(mode)
 

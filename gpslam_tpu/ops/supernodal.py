@@ -173,10 +173,20 @@ class SupernodalSolver:
     `lax.fori_loop` over a device-side chunked instruction stream (compile
     time O(1) in levels — the path that removes the variable-count cap);
     "auto" picks by level count.
+
+    `dense_tail`: number of TRAILING elimination positions factored as ONE
+    dense Cholesky instead of block-sparse level schedules — the classic
+    supernodal switch-to-dense (CHOLMOD's dense-root trick; reference
+    framing: gtsam's multifrontal root cliques, SURVEY.md §2.2 S9). With a
+    fill-reducing ordering the trailing positions are the top separators,
+    where (a) fill is near-dense anyway and (b) the serialized level-by-
+    level elimination is both latency- and FLOP-bound on tiny blocks. One
+    (dense_tail*b)^2 Cholesky instead runs at MXU speed and removes the
+    deepest O(separator) levels from the schedule entirely.
     """
 
     def __init__(self, graph: Graph, values, ordering: str = "md",
-                 mode: str = "auto"):
+                 mode: str = "auto", dense_tail: int = 0):
         self.groups = list(values.keys())
         dims = {g: graph.manifolds[g].dim for g in self.groups}
         self.b = max(dims.values())
@@ -205,6 +215,7 @@ class SupernodalSolver:
         pos = np.zeros(n, np.int64)
         pos[perm] = np.arange(n)
         self.pos = pos
+        self.n_tail = min(max(int(dense_tail), 0), n)
         self._build_numeric_schedules(struct, parent)
         self._set_mode(mode)
         self._build_assembly(graph)
@@ -236,6 +247,14 @@ class SupernodalSolver:
         self.off_id = off_id
 
         levels = order_mod.etree_levels(parent)
+        ns = n - self.n_tail  # positions >= ns are the dense tail
+        if self.n_tail:
+            # levels whose every column is in the tail vanish from the
+            # schedules entirely (typically the deepest separator levels);
+            # one trailing empty level hosts tail-destined update/gemv work
+            # sourced from the last real level (sources must be finalized
+            # strictly before that work runs)
+            levels = [lv for lv in levels if any(j < ns for j in lv)] + [[]]
         self.levels = levels
 
         # ---- schedules -------------------------------------------------
@@ -246,10 +265,18 @@ class SupernodalSolver:
         for li, lv in enumerate(levels):
             for j in lv:
                 level_of[j] = li
-        for k in range(n):
+        # tail destinations: an update from a non-tail source k into a tail
+        # block needs column k finalized (k's trsm runs at level_of[k],
+        # after that level's upd phase) — schedule it at level_of[k] + 1's
+        # upd phase (the trailing empty level catches last-level sources).
+        # Left-looking by destination only matters for dsts the schedule
+        # re-reads; tail blocks are read once, by the dense gather after
+        # ALL levels, so any level > level_of[k] is correct.
+        for k in range(ns):
             sk = struct[k]
+            lk = int(level_of[k])
             for a, j in enumerate(sk):
-                lj = int(level_of[j])
+                lj = int(level_of[j]) if j < ns else lk + 1
                 upd[lj].append((j, off_id[(j, k)], off_id[(j, k)]))
                 for i in sk[a + 1 :]:
                     upd[lj].append((off_id[(i, j)], off_id[(i, k)], off_id[(j, k)]))
@@ -262,24 +289,30 @@ class SupernodalSolver:
             for u in upd
         ]
         # column factorization per level: diagonal ids == column positions;
-        # off blocks of the column + their diag id
+        # off blocks of the column + their diag id (tail columns excluded —
+        # the dense tail factorizes them)
         self.col_sched = []
         for lv in levels:
-            cols = np.asarray(lv, np.int32)
+            lv_s = [j for j in lv if j < ns]
+            cols = np.asarray(lv_s, np.int32)
             offs = []
             offs_diag = []
-            for j in lv:
+            for j in lv_s:
                 for i in struct[j]:
                     offs.append(off_id[(i, j)])
                     offs_diag.append(j)
             self.col_sched.append(
                 (cols, np.asarray(offs, np.int32), np.asarray(offs_diag, np.int32))
             )
-        # forward solve: y[j] -= L[j,k] y[k] for j in struct[k] (dst level of j)
+        # forward solve: y[j] -= L[j,k] y[k] for j in struct[k] (dst level of
+        # j; tail-destined contributions ride at level_of[k] + 1 like the
+        # factorization updates — y[k] is final after k's level)
         fwd: List[List[Tuple[int, int, int]]] = [[] for _ in levels]
-        for k in range(n):
+        for k in range(ns):
+            lk = int(level_of[k])
             for j in struct[k]:
-                fwd[int(level_of[j])].append((j, off_id[(j, k)], k))
+                lj = int(level_of[j]) if j < ns else lk + 1
+                fwd[lj].append((j, off_id[(j, k)], k))
         self.fwd_sched = [
             (
                 np.asarray([t[0] for t in f], np.int32),
@@ -288,9 +321,11 @@ class SupernodalSolver:
             )
             for f in fwd
         ]
-        # backward solve: x[j] -= L[i,j]^T x[i] for i in struct[j]
+        # backward solve: x[j] -= L[i,j]^T x[i] for i in struct[j]; tail
+        # columns j are dense-solved, tail SOURCES i are fine anywhere (the
+        # dense tail solve runs before the backward stream)
         bwd: List[List[Tuple[int, int, int]]] = [[] for _ in levels]
-        for j in range(n):
+        for j in range(ns):
             for i in struct[j]:
                 bwd[int(level_of[j])].append((j, off_id[(i, j)], i))
         self.bwd_sched = [
@@ -301,6 +336,29 @@ class SupernodalSolver:
             )
             for bb in bwd
         ]
+
+        # ---- dense-tail gather map ------------------------------------
+        # every EXISTING tail block (diag j >= ns; off (i, j), j >= ns —
+        # then i >= ns too since struct holds ancestors) and its (row, col)
+        # in the dense tail matrix; structural zeros stay zero
+        self.ns = ns
+        if self.n_tail:
+            t_ids, t_ri, t_rj = [], [], []
+            for j in range(ns, n):
+                t_ids.append(j)
+                t_ri.append(j - ns)
+                t_rj.append(j - ns)
+                for i in struct[j]:
+                    t_ids.append(off_id[(i, j)])
+                    t_ri.append(i - ns)
+                    t_rj.append(j - ns)
+            self._tail_map = (
+                np.asarray(t_ids, np.int32),
+                np.asarray(t_ri, np.int32),
+                np.asarray(t_rj, np.int32),
+            )
+        else:
+            self._tail_map = None
 
     def _build_assembly(self, graph):
         # ---- factor-batch assembly destinations ------------------------
@@ -501,6 +559,8 @@ class SupernodalSolver:
                 return blocks.at[offs].set(X, indices_are_sorted=True)
             return f
 
+        if fact.n_steps == 0:  # fully-dense tail: nothing streamed
+            return blocks
         mk = {"upd": upd, "chol": chol, "trsm": trsm}
         branches = [mk[kind](jnp.asarray(arr)) for kind, arr in fact.branches]
         opcodes = jnp.asarray(fact.opcodes)
@@ -511,7 +571,7 @@ class SupernodalSolver:
 
         return jax.lax.fori_loop(0, fact.n_steps, body, blocks)
 
-    def _solve_stream(self, blocks, rhs):
+    def _solve_stream(self, blocks, rhs, L_tail=None):
         """blocks: factorize output INCLUDING the two pad slots."""
         _, fwd, bwd = self._get_stream()
         y = jnp.concatenate(
@@ -541,6 +601,8 @@ class SupernodalSolver:
             return outer
 
         def run(stream, mk):
+            if stream.n_steps == 0:  # fully-dense tail
+                return y
             branches = [mk[kind](jnp.asarray(arr))
                         for kind, arr in stream.branches]
             opcodes = jnp.asarray(stream.opcodes)
@@ -553,23 +615,59 @@ class SupernodalSolver:
 
         y = run(fwd, {"gemv": gemv("mij,mj->mi"),
                       "diag": diag(sb.solve_lower)})
+        y = self._tail_solve(y, L_tail)
         y = run(bwd, {"gemv": gemv("mji,mj->mi"),
                       "diag": diag(sb.solve_upper_from_lower)})
         return y[:-1]
 
+    # ------------------------------------------------------- dense tail
+    def _tail_dense_factor(self, blocks):
+        """Gather the fully-updated tail blocks into one dense
+        (n_tail*b, n_tail*b) SPD matrix and Cholesky-factorize it — the
+        MXU-shaped replacement for the deepest separator levels."""
+        t_ids, t_ri, t_rj = self._tail_map
+        nt, b = self.n_tail, self.b
+        M4 = jnp.zeros((nt, nt, b, b), blocks.dtype)
+        M4 = M4.at[jnp.asarray(t_ri), jnp.asarray(t_rj)].set(
+            blocks[jnp.asarray(t_ids)]
+        )
+        M = M4.transpose(0, 2, 1, 3).reshape(nt * b, nt * b)
+        # blocks store the lower triangle (i >= j); mirror it
+        M = jnp.tril(M) + jnp.tril(M, -1).T
+        return jnp.linalg.cholesky(M)
+
+    def _tail_solve(self, y, L_tail):
+        """Dense forward+backward solve on the tail rows of y, between the
+        streamed forward and backward passes."""
+        if L_tail is None:
+            return y
+        ns, nt, b = self.ns, self.n_tail, self.b
+        yt = y[ns : ns + nt].reshape(nt * b)
+        z = jax.scipy.linalg.solve_triangular(L_tail, yt, lower=True)
+        xt = jax.scipy.linalg.solve_triangular(L_tail.T, z, lower=False)
+        return y.at[ns : ns + nt].set(xt.reshape(nt, b))
+
     def factorize(self, blocks):
         """A -> L over the level schedules. In stream mode the result keeps
         two extra pad slots (zero + identity) consumed by the stream solve;
-        slice [:n_blocks] to compare against the unrolled factor."""
+        slice [:n_blocks] to compare against the unrolled factor. With a
+        dense tail, returns (L_blocks, L_tail)."""
         if self._mode == "stream":
-            return self._factorize_stream(blocks)
-        return self._factorize_unrolled(blocks)
+            blocks = self._factorize_stream(blocks)
+        else:
+            blocks = self._factorize_unrolled(blocks)
+        if self.n_tail:
+            return blocks, self._tail_dense_factor(blocks)
+        return blocks
 
     def solve_factored(self, blocks, rhs):
         """rhs (n, b) in elimination positions -> x (n, b)."""
+        L_tail = None
+        if self.n_tail:
+            blocks, L_tail = blocks
         if self._mode == "stream":
-            return self._solve_stream(blocks, rhs)
-        return self._solve_unrolled(blocks, rhs)
+            return self._solve_stream(blocks, rhs, L_tail)
+        return self._solve_unrolled(blocks, rhs, L_tail)
 
     def _factorize_unrolled(self, blocks):
         """In-place left-looking level-batched factorization: A -> L."""
@@ -581,6 +679,8 @@ class SupernodalSolver:
                     blocks[u_s1], jnp.swapaxes(blocks[u_s2], -1, -2)
                 )
                 blocks = blocks.at[u_dst].add(-upd)
+            if not len(cols):
+                continue
             Ld = sb.cholesky(blocks[cols])
             blocks = blocks.at[cols].set(Ld)
             if len(offs):
@@ -593,7 +693,7 @@ class SupernodalSolver:
                 blocks = blocks.at[offs].set(X)
         return blocks
 
-    def _solve_unrolled(self, blocks, rhs):
+    def _solve_unrolled(self, blocks, rhs, L_tail=None):
         y = rhs
         for (dst, src_blk, src_col), (cols, _, _) in zip(
             self.fwd_sched, self.col_sched
@@ -604,10 +704,11 @@ class SupernodalSolver:
                     precision="highest",
                 )
                 y = y.at[dst].add(-contrib)
-            y = y.at[cols].set(
-                sb.solve_lower(blocks[cols], y[cols][..., None])[..., 0]
-            )
-        x = y
+            if len(cols):
+                y = y.at[cols].set(
+                    sb.solve_lower(blocks[cols], y[cols][..., None])[..., 0]
+                )
+        x = self._tail_solve(y, L_tail)
         for li in reversed(range(len(self.levels))):
             dst, src_blk, src_col = self.bwd_sched[li]
             cols = self.col_sched[li][0]
@@ -617,11 +718,12 @@ class SupernodalSolver:
                     precision="highest",
                 )
                 x = x.at[dst].add(-contrib)
-            x = x.at[cols].set(
-                sb.solve_upper_from_lower(
-                    blocks[cols], x[cols][..., None]
-                )[..., 0]
-            )
+            if len(cols):
+                x = x.at[cols].set(
+                    sb.solve_upper_from_lower(
+                        blocks[cols], x[cols][..., None]
+                    )[..., 0]
+                )
         return x
 
     # ------------------------------------------- selected inverse (S12)
@@ -642,7 +744,10 @@ class SupernodalSolver:
         self._sel_sched = []
         for lv in self.levels:
             dstA, s1, tr, s2, col_slot = [], [], [], [], []
-            for jj, j in enumerate(lv):
+            # tail columns are seeded from the dense tail inverse; the
+            # recurrence only runs on stream columns (aligned with
+            # col_sched's filtered cols)
+            for jj, j in enumerate([j for j in lv if j < self.ns]):
                 c = struct[j]
                 for i in c:
                     col_slot.append(jj)
@@ -675,10 +780,29 @@ class SupernodalSolver:
         if not hasattr(self, "_sel_sched"):
             self._build_selected_schedules()
         swap = lambda A: jnp.swapaxes(A, -1, -2)  # noqa: E731
+        L_tail = None
+        if self.n_tail:
+            L, L_tail = L
         S = jnp.zeros_like(L)
+        if L_tail is not None:
+            # seed every tail-pattern block of H^{-1} from the dense tail:
+            # S_tail = L_tail^{-T} L_tail^{-1} (exact — the tail rows/cols
+            # of H^{-1} restricted to the pattern)
+            nt, b = self.n_tail, self.b
+            Linv_t = jax.scipy.linalg.solve_triangular(
+                L_tail, jnp.eye(nt * b, dtype=L.dtype), lower=True
+            )
+            S_dense = sb.matmul_hp(swap(Linv_t), Linv_t)
+            S4 = S_dense.reshape(nt, b, nt, b).transpose(0, 2, 1, 3)
+            t_ids, t_ri, t_rj = self._tail_map
+            S = S.at[jnp.asarray(t_ids)].set(
+                S4[jnp.asarray(t_ri), jnp.asarray(t_rj)]
+            )
         eye = jnp.eye(self.b, dtype=L.dtype)
         for li in reversed(range(len(self.levels))):
             cols, offs, offs_diag = self.col_sched[li]
+            if not len(cols):
+                continue
             dstA, s1, tr, s2, col_slot = self._sel_sched[li]
             Ljj = L[cols]
             Linv = sb.solve_lower(Ljj, jnp.broadcast_to(eye, Ljj.shape))

@@ -27,6 +27,7 @@ from .lm import make_dense_solver
 _DENSE_MAX_TANGENT = 300  # dense H at most ~300x300
 _ND_MIN_VARS = 1500  # beyond this, etree balance beats min-degree's fill
 _FACTOR_BYTES_MAX = 4 << 30  # PCG fallback if L storage exceeds this
+_TAIL_DIM = 1536  # target dense top-of-tree width (tangent dims)
 
 
 def auto_solver(graph, values, state_group: str = "state",
@@ -67,9 +68,15 @@ def auto_solver(graph, values, state_group: str = "state",
     # mode="stream" is forced for large graphs: unrolled compile cost scales
     # with schedule SIZE (not just level count), which the auto heuristic
     # inside the solver cannot see
+    w_max = 8 if large else 4
+    b_var = max(graph.manifolds[g].dim for g in values)
+    # dense top-of-tree: fold the trailing separator panels into one
+    # ~_TAIL_DIM-wide dense MXU Cholesky (supernodal.py dense_tail)
+    dense_tail = (_TAIL_DIM // (w_max * b_var)) if large else 0
     sn = AmalgamatedSupernodalSolver(
         graph, values, ordering="nd" if large else "md",
-        w_max=8 if large else 4, mode="stream" if large else "auto",
+        w_max=w_max, mode="stream" if large else "auto",
+        dense_tail=dense_tail,
     )
     dtype_bytes = jax.tree_util.tree_leaves(values)[0].dtype.itemsize
     factor_bytes = sn.n_blocks * sn.b * sn.b * dtype_bytes
@@ -77,7 +84,8 @@ def auto_solver(graph, values, state_group: str = "state",
         if verbose:
             print(f"auto_solver: amalgamated supernodal sparse Cholesky "
                   f"(ordering={'nd' if large else 'md'}, mode={sn._mode}, "
-                  f"w_max={sn.w_max}, {factor_bytes / 1e6:.0f} MB factor)")
+                  f"w_max={sn.w_max}, dense_tail={sn.n_tail} panels, "
+                  f"{factor_bytes / 1e6:.0f} MB factor)")
         return sn.solver
     if verbose:
         print("auto_solver: block-Jacobi PCG (factor storage "
