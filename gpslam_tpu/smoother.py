@@ -479,6 +479,72 @@ class FixedLagSmoother:
         )
         return s, {"head_x": hx, "head_v": hv, "chi2": chi2}
 
+    def _cast_seqs(self, odom_seq, tau_seq, z_seq, lm_seq, valid_seq):
+        return (
+            jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, self.dtype), odom_seq
+            ),
+            jnp.asarray(tau_seq, self.dtype),
+            jnp.asarray(z_seq, self.dtype),
+            jnp.asarray(lm_seq, jnp.int32),
+            jnp.asarray(valid_seq, self.dtype),
+        )
+
+    def run_steps_multiseed(self, s, odom_seq, rng_tau_seq, rng_z_seq,
+                            rng_lm_seq, rng_valid_seq):
+        """Many-hypothesis config-5 composition (SURVEY.md §2.4 P6 x S11):
+        S independent smoother states advance K buffered steps each in ONE
+        dispatch — `jax.vmap` over the K-step scan. Every argument carries a
+        leading seed axis S (tile the measurement sequences to share them).
+        Returns (state_batch, outs) with outs values shaped (S, K, ...)."""
+        if not hasattr(self, "_run_ms_cache"):
+            self._run_ms_cache = jax.jit(jax.vmap(self._scan_steps))
+        return self._run_ms_cache(
+            s, *self._cast_seqs(odom_seq, rng_tau_seq, rng_z_seq,
+                                rng_lm_seq, rng_valid_seq)
+        )
+
+    def run_steps_sharded(self, s, odom_seq, rng_tau_seq, rng_z_seq,
+                          rng_lm_seq, rng_valid_seq, mesh,
+                          axis_name: str = "seed"):
+        """Multi-chip config-5: the hypothesis axis SHARDED over the device
+        mesh — each chip scans its seed shard with ZERO per-step
+        communication (hypotheses are independent; this is the idiomatic
+        sharding for many-seed smoothing — window solves are latency-bound
+        at W ~ 100, so splitting WITHIN a window would trade no-comm
+        parallelism for per-level collectives). Leading axis S must be
+        divisible by the mesh size. Scales to multi-host by widening the
+        mesh (the same shard_map runs under jax.distributed)."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.mesh import global_put
+
+        n_dev = mesh.devices.size
+        S = jax.tree_util.tree_leaves(s)[0].shape[0]
+        if S % n_dev:
+            raise ValueError(f"seed count {S} not divisible by {n_dev}")
+        seqs = self._cast_seqs(odom_seq, rng_tau_seq, rng_z_seq,
+                               rng_lm_seq, rng_valid_seq)
+        spec_of = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda _: P(axis_name), t)
+        s = global_put(s, mesh, spec_of(s))
+        seqs = global_put(seqs, mesh, spec_of(seqs))
+        out_struct = jax.eval_shape(jax.vmap(self._scan_steps), s, *seqs)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(spec_of(s), *[spec_of(q) for q in seqs]),
+            out_specs=jax.tree_util.tree_map(lambda _: P(axis_name),
+                                             out_struct),
+            check_vma=False,
+        )
+        def run(s_loc, *seqs_loc):
+            return jax.vmap(self._scan_steps)(s_loc, *seqs_loc)
+
+        return jax.jit(run)(s, *seqs)
+
     def _step_impl(self, s, odom_z, rng_tau, rng_z, rng_lm, rng_valid):
         cfg = self.config
         W, L = cfg.window, self.n_landmarks

@@ -65,13 +65,13 @@ def _lm_loop(values0, error_fn: Callable, step_fn: Callable,
         return jnp.logical_and(carry[3] < T, jnp.logical_not(carry[4]))
 
     def body(carry):
-        values, lam, err, it, _done, conv, abort, hist = carry
+        values, lam, err, it, done0, conv0, abort0, hist = carry
         delta = step_fn(values, lam)
         candidate = retract_fn(values, delta)
         new_err = error_fn(candidate)
         accept = jnp.logical_and(new_err < err, jnp.isfinite(new_err))
 
-        values = _select(accept, candidate, values)
+        values_n = _select(accept, candidate, values)
         err_next = jnp.where(accept, new_err, err)
         lam_next = jnp.where(
             accept,
@@ -86,12 +86,27 @@ def _lm_loop(values0, error_fn: Callable, step_fn: Callable,
         )
         done = jnp.logical_or(conv, abort)
 
-        hist = (
+        hist_n = (
             hist[0].at[it].set(err_next),
             hist[1].at[it].set(lam),
             hist[2].at[it].set(accept),
         )
-        return (values, lam_next, err_next, it + 1, done, conv, abort, hist)
+        # freeze lanes that already finished: under vmap the while_loop
+        # keeps stepping until EVERY lane is done, and without this mask an
+        # early-converged hypothesis would keep mutating — vmapped multiseed
+        # must reproduce S independent solves bit-for-bit. Scalar semantics
+        # are unchanged (cond() guarantees done0 is False here).
+        live = jnp.logical_not(done0)
+        return (
+            _select(live, values_n, values),
+            jnp.where(live, lam_next, lam),
+            jnp.where(live, err_next, err),
+            jnp.where(live, it + 1, it),
+            jnp.where(live, done, done0),
+            jnp.where(live, conv, conv0),
+            jnp.where(live, abort, abort0),
+            _select(live, hist_n, hist),
+        )
 
     hist0 = (
         jnp.full((T,), jnp.nan, dtype),

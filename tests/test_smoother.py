@@ -286,3 +286,75 @@ def test_smoother_marginals(scenario):
     # the anchored (oldest) state is most certain
     tr = np.trace(S, axis1=-2, axis2=-1)
     assert np.argmin(tr) == 0
+
+
+def _seq_from(data, cfg, W, K):
+    R = cfg.ranges_per_step
+    by_iv = {}
+    for k in range(data["range_i"].shape[0]):
+        by_iv.setdefault(int(data["range_i"][k]), []).append(k)
+    odom_seq = np.stack([data["odom_z"][W - 1 + t] for t in range(K)])
+    tau_seq = np.full((K, R), 0.5 * cfg.dt)
+    z_seq = np.zeros((K, R))
+    lm_seq = np.zeros((K, R), np.int32)
+    val_seq = np.zeros((K, R))
+    for t in range(K):
+        for j, k in enumerate(by_iv.get(W - 1 + t, [])[:R]):
+            tau_seq[t, j] = data["range_tau"][k]
+            z_seq[t, j] = data["range_z"][k]
+            lm_seq[t, j] = data["range_lm"][k]
+            val_seq[t, j] = 1.0
+    return odom_seq, tau_seq, z_seq, lm_seq, val_seq
+
+
+def test_run_steps_multiseed_and_sharded(scenario):
+    """Config-5 composition (P6 x S11): S perturbed hypothesis states scan K
+    steps via one vmapped dispatch, and the same with the seed axis SHARDED
+    over a 4-device mesh — both must reproduce S independent run_steps."""
+    import jax
+
+    from gpslam_tpu.parallel import make_mesh
+
+    data, _ = scenario
+    W, K, S = 30, 10, 4
+    cfg = SmootherConfig(window=W, dt=float(data["dt"]), qc=float(data["qc"]),
+                         odom_sigma=float(data["odom_sigma"]),
+                         range_sigma=float(data["range_sigma"]),
+                         iters_per_step=2)
+    L = data["landmarks_gt"].shape[0]
+    sm = FixedLagSmoother(cfg, n_landmarks=L, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    states = []
+    for i in range(S):
+        s0 = sm.init(
+            data["init_pos"][:W] + 0.05 * rng.standard_normal((W, 2)),
+            data["init_vel"][:W],
+            data["init_landmarks"],
+            odom_z=data["odom_z"][:W - 1],
+        )
+        states.append(sm.settle(s0, iters=5))
+    s_batch = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *states
+    )
+    seqs = _seq_from(data, cfg, W, K)
+    seqs_b = tuple(np.broadcast_to(q[None], (S,) + q.shape).copy()
+                   for q in seqs)
+
+    # reference: independent scans
+    refs = [sm.run_steps(states[i], *seqs) for i in range(S)]
+    s_ms, outs_ms = sm.run_steps_multiseed(s_batch, *seqs_b)
+    for i in range(S):
+        np.testing.assert_allclose(np.asarray(outs_ms["head_x"][i]),
+                                   np.asarray(refs[i][1]["head_x"]),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_ms.x[i]),
+                                   np.asarray(refs[i][0].x),
+                                   rtol=2e-5, atol=1e-5)
+
+    mesh = make_mesh(4, axis_name="seed")
+    s_sh, outs_sh = sm.run_steps_sharded(s_batch, *seqs_b, mesh)
+    np.testing.assert_allclose(np.asarray(outs_sh["head_x"]),
+                               np.asarray(outs_ms["head_x"]),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_sh.x), np.asarray(s_ms.x),
+                               rtol=2e-5, atol=1e-5)
