@@ -81,6 +81,18 @@ def _lm_loop(values0, error_fn: Callable, step_fn: Callable,
         rel_ok = (err - new_err) <= config.relative_error_tol * err
         abs_ok = (err - new_err) <= config.absolute_error_tol
         conv = jnp.logical_and(accept, jnp.logical_or(rel_ok, abs_ok))
+        # a REJECTED step whose cost is within rel_tol of the incumbent is a
+        # stationary point at working precision: without this, an f32 solve
+        # that has fully converged burns ~12 extra reject iterations walking
+        # lambda to overflow (measured: 15 vs 3 iterations at 20k states,
+        # same final chi^2 as the f64 reference either way)
+        conv = jnp.logical_or(
+            conv,
+            jnp.logical_and(
+                jnp.logical_not(accept),
+                new_err - err < config.relative_error_tol * err,
+            ),
+        )
         abort = jnp.logical_and(
             jnp.logical_not(accept), lam_next > config.lambda_max
         )
