@@ -36,6 +36,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the vmapped multiseed program compiles in ~2 min
+# cold on the tunnel-attached backend; cached it loads in seconds, which
+# keeps the whole bench well inside the driver's budget
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def build_problem(n_states=9700, dtype=jnp.float32):
     from gpslam_tpu.io import synthetic

@@ -1,8 +1,13 @@
 """SPMD parallelism: mesh, factor sharding (P1), supernode sharding (P2),
-time sharding (P4), multi-seed vmap (P6) — SURVEY.md §2.4."""
+subtree pipelining (P3), time sharding (P4), multi-seed vmap (P6) —
+SURVEY.md §2.4."""
 
 from .mesh import init_distributed, make_mesh  # noqa: F401
 from .solve import lm_solve_multiseed, lm_solve_sharded, pad_graph  # noqa: F401
+from .subtree_shard import (  # noqa: F401
+    SubtreeShardedSolver,
+    lm_solve_subtree_sharded,
+)
 from .supernodal_shard import (  # noqa: F401
     ShardedSupernodalSolver,
     lm_solve_supernodal_sharded,

@@ -53,8 +53,8 @@ class ShardedSupernodalSolver(SupernodalSolver):
     `axis_name` with the graph's factor tables sharded along that axis.
     """
 
-    def __init__(self, graph, values, n_shards: int):
-        super().__init__(graph, values)
+    def __init__(self, graph, values, n_shards: int, **solver_kw):
+        super().__init__(graph, values, **solver_kw)
         self.n_shards = n_shards
 
         # ---- sharded update schedules: per level, split the triple list
