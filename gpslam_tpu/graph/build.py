@@ -20,6 +20,18 @@ from .graph import FactorBatch, Graph
 from .manifolds import Manifold
 
 
+def _arange_tags(idx):
+    """Per-slot static hints: k0 if idx[s] == arange(k0, k0+M) else None."""
+    tags = []
+    for i in idx:
+        i = np.asarray(i)
+        if i.shape[0] and np.array_equal(i, np.arange(i[0], i[0] + i.shape[0])):
+            tags.append(int(i[0]))
+        else:
+            tags.append(None)
+    return tuple(tags)
+
+
 class GraphBuilder:
     def __init__(self):
         self._manifolds: Dict[str, Manifold] = {}
@@ -70,7 +82,7 @@ class GraphBuilder:
             FactorBatch(
                 idx=idx, params=params, name=name, residual=residual,
                 groups=tuple(groups), rdim=rdim, mask=mask, robust=robust,
-                linearizer=linearizer,
+                linearizer=linearizer, idx_arange=_arange_tags(idx),
             )
         )
         return self
@@ -92,7 +104,7 @@ class GraphBuilder:
                 out.append(bs[0])
             else:
                 idx = tuple(
-                    jnp.concatenate([b.idx[s] for b in bs])
+                    np.concatenate([np.asarray(b.idx[s]) for b in bs])
                     for s in range(len(bs[0].idx))
                 )
                 params = jax.tree_util.tree_map(
@@ -111,7 +123,7 @@ class GraphBuilder:
                         idx=idx, params=params, name=bs[0].name,
                         residual=bs[0].residual, groups=bs[0].groups,
                         rdim=bs[0].rdim, mask=mask, robust=bs[0].robust,
-                        linearizer=bs[0].linearizer,
+                        linearizer=bs[0].linearizer, idx_arange=_arange_tags(idx),
                     )
                 )
         return Graph(batches=tuple(out), manifolds=dict(self._manifolds))

@@ -55,6 +55,13 @@ class FactorBatch:
     # default (the reference's analytic evaluateError Jacobians, ~10x
     # cheaper than AD for high-slot-count factors).
     linearizer: Any = struct.field(pytree_node=False, default=None)
+    # STATIC per-slot structure hints: tuple with, per slot, either None or
+    # the int k0 such that idx[s] == arange(k0, k0+M). When set, value
+    # gathers become contiguous slices (TPU row-gathers of short rows run
+    # far below HBM roofline; a slice is a straight copy). Computed by
+    # GraphBuilder from the concrete index arrays; constructors that build
+    # batches with runtime index data leave it None (generic gather).
+    idx_arange: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def size(self) -> int:
@@ -77,10 +84,23 @@ def gather(group_values, idx):
     return jax.tree_util.tree_map(lambda a: a[idx], group_values)
 
 
+def gather_slot(batch: FactorBatch, values, s: int):
+    """Slot-s variable rows; a contiguous SLICE when the batch's static
+    structure hints say idx[s] == arange(k0, k0+M) (see FactorBatch)."""
+    k0 = batch.idx_arange[s] if batch.idx_arange is not None else None
+    if k0 is not None:
+        M = batch.idx[s].shape[0]
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(a, k0, k0 + M),
+            values[batch.groups[s]],
+        )
+    return gather(values[batch.groups[s]], batch.idx[s])
+
+
 def batch_residuals(batch: FactorBatch, values) -> jnp.ndarray:
     """(M, rdim) whitened residuals for one batch (vmapped kernel)."""
     gathered = tuple(
-        gather(values[g], batch.idx[s]) for s, g in enumerate(batch.groups)
+        gather_slot(batch, values, s) for s in range(len(batch.groups))
     )
 
     def one(slot_vals, params_one):
@@ -137,7 +157,7 @@ class LinearizedBatch:
 
 def linearize_batch(batch: FactorBatch, manifolds, values) -> LinearizedBatch:
     gathered = tuple(
-        gather(values[g], batch.idx[s]) for s, g in enumerate(batch.groups)
+        gather_slot(batch, values, s) for s in range(len(batch.groups))
     )
     dims = tuple(manifolds[g].dim for g in batch.groups)
     dtype = _result_dtype(values)

@@ -45,7 +45,10 @@ def pad_graph(graph: Graph, multiple: int) -> Graph:
         pad = m_pad - m
         if pad == 0:
             mask = b.mask if b.mask is not None else jnp.ones((m,), jnp.float32)
-            batches.append(b.replace(mask=mask))
+            # idx_arange hints are only valid for the GLOBAL index arrays;
+            # these batches are about to be factor-sharded (local slices per
+            # device), so the static-slice fast path must be disabled.
+            batches.append(b.replace(mask=mask, idx_arange=None))
             continue
         idx = tuple(
             jnp.concatenate([ix, jnp.repeat(ix[-1:], pad, 0)]) for ix in b.idx

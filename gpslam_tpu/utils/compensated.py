@@ -7,25 +7,21 @@ chi^2 sum is a non-issue there. On TPU the compute dtype is f32 (SURVEY.md
 digits exactly where LM needs them: the accept/reject comparison of two
 nearly-equal costs.
 
-Scheme (vectorized pairwise tree + short compensated tail):
-  1. repeatedly fold the array in chunks of 64 with vectorized f32 sums
-     until <=128 partials remain — explicit pairwise-class reduction,
-     error O(log n * eps) by construction (independent of how XLA happens
-     to schedule a flat jnp.sum);
-  2. combine the remaining partials with a Neumaier (improved-Kahan)
-     running compensation in a lax.scan of <=128 scalar steps — O(eps),
-     and cheap enough (~0.1 ms) to run inside every LM iteration.
-Worst-case relative error ~ O(log n * eps) vs O(n * eps) for sequential
-summation; measured against f64 this tracks to ~1e-7 at 10^7 terms.
+Scheme: a fully VECTORIZED compensated pairwise tree — log2(n) levels of
+branch-free TwoSum (Knuth). Each level's pairwise adds are exact (sum +
+recovered rounding error); the error terms accumulate in a parallel
+compensation array that is folded down alongside the sums. Every level is a
+full-width vector op (no sequential scalar loop — a lax.scan of scalar
+steps costs ~0.5 ms per call on TPU; this is ~2x the cost of a plain sum).
+Error behaves like doubly-compensated summation: ~O(eps) + O(log n * eps^2)
+relative to the condition number, vs O(n * eps) for sequential f32.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
-_FOLD = 64      # vectorized fan-in per pairwise level
-_TAIL = 128     # max partials handed to the Neumaier scan
+_TAIL = 128     # below this, a plain jnp.sum is already exact enough
 
 
 def compensated_sum(x: jnp.ndarray) -> jnp.ndarray:
@@ -33,23 +29,20 @@ def compensated_sum(x: jnp.ndarray) -> jnp.ndarray:
     x = x.reshape(-1)
     if x.shape[0] <= _TAIL:
         return jnp.sum(x)
-    while x.shape[0] > _TAIL:
-        n = x.shape[0]
-        c = -(-n // _FOLD)
-        x = jnp.pad(x, (0, c * _FOLD - n)).reshape(c, _FOLD).sum(axis=1)
-
-    def body(carry, p):
-        s, comp = carry
-        t = s + p
-        # Neumaier branch-free: recovers the rounding error of s+p for
-        # either magnitude ordering
-        e = jnp.where(jnp.abs(s) >= jnp.abs(p), (s - t) + p, (p - t) + s)
-        return (t, comp + e), None
-
-    (s, comp), _ = jax.lax.scan(
-        body, (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)), x
-    )
-    return s + comp
+    n = x.shape[0]
+    m = 1 << (n - 1).bit_length()
+    s = jnp.pad(x, (0, m - n))
+    comp = None
+    while s.shape[0] > 1:
+        h = s.shape[0] // 2
+        a, b = s[:h], s[h:]
+        t = a + b
+        # TwoSum (Knuth, branch-free): e is the exact rounding error of a+b
+        bp = t - a
+        e = (a - (t - bp)) + (b - bp)
+        s = t
+        comp = e if comp is None else comp[:h] + comp[h:] + e
+    return s[0] + comp[0]
 
 
 def compensated_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
