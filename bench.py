@@ -22,8 +22,16 @@ Reports ONE JSON line:
 
 Extras include the same solve on this host's JAX-CPU backend (the round-1
 denominator, kept for continuity), RTT-amortized multiseed throughput with
-genuinely perturbed seeds, and the calibrated chip context (22 ms dispatch
-RTT floor, 242 GB/s HBM, 24 TF f32 — BASELINE.md).
+genuinely perturbed seeds, the calibrated chip context (22 ms dispatch
+RTT floor, 242 GB/s HBM, 24 TF f32 — BASELINE.md), and the SCALE rows the
+round-2 verdict prescribed (where the chip, not the methodology, wins):
+
+  scale_100k   100k-state / 234k-factor full LM: TPU vs the f64 SuperLU
+               CPU reference AND vs the same JAX code on the host CPU.
+  scale_1m_bcr 1M-state block-tridiagonal solve (BASELINE config-5 scale,
+               single chip): fused plane-major Pallas BCR vs the XLA path
+               vs the host CPU, with the achieved effective bandwidth
+               against the 242 GB/s roofline.
 """
 
 import json
@@ -83,14 +91,11 @@ def count_factors(graph):
     return int(sum(b.size for b in graph.batches))
 
 
-def run_cpu_reference(n_states, timeout_s=480):
-    """f64 scipy sparse-direct LM denominator, in a subprocess (needs a
-    fresh interpreter: x64 + CPU platform must be set before tracing).
-    Returns the info dict, or None if unavailable."""
+def _run_subprocess_json(script, n_states, timeout_s):
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         out = subprocess.run(
-            [sys.executable, os.path.join(here, "bench", "run_cpu_reference.py"),
+            [sys.executable, os.path.join(here, "bench", script),
              str(n_states)],
             capture_output=True, text=True, timeout=timeout_s, cwd=here,
         )
@@ -101,6 +106,107 @@ def run_cpu_reference(n_states, timeout_s=480):
     except Exception:
         pass
     return None
+
+
+def run_cpu_reference(n_states, timeout_s=480):
+    """f64 scipy sparse-direct LM denominator, in a subprocess (needs a
+    fresh interpreter: x64 + CPU platform must be set before tracing).
+    Returns the info dict, or None if unavailable."""
+    return _run_subprocess_json("run_cpu_reference.py", n_states, timeout_s)
+
+
+def run_jax_cpu(n_states, timeout_s=480):
+    """Same-code JAX-CPU LM in a subprocess (bench/run_jax_cpu.py): avoids
+    both the sitecustomize platform pin and tunnel round-trips for the
+    problem arrays."""
+    return _run_subprocess_json("run_jax_cpu.py", n_states, timeout_s)
+
+
+def bench_scale_100k():
+    """100k-state full LM on the default backend + both CPU denominators.
+    Returns the extras dict (None on any failure — never sinks the bench)."""
+    graph, values, _ = build_problem(n_states=100_000)
+    solve = make_solver(graph)
+    t_dev, stats = time_solve(solve, graph, values)
+
+    cpu_ref = run_cpu_reference(100_000)
+    jax_cpu = run_jax_cpu(100_000)
+    row = {
+        "n_states": 100_000,
+        "n_factors": count_factors(graph),
+        "tpu_lm_s": round(t_dev, 4),
+        "iterations": int(stats.iterations),
+        "chi2_final": float(stats.error),
+        "converged": bool(stats.converged),
+    }
+    if cpu_ref:
+        row["cpu_superlu_s"] = round(cpu_ref["wall_s"], 3)
+        row["vs_baseline"] = round(cpu_ref["wall_s"] / t_dev, 2)
+        row["cpu_superlu_chi2"] = cpu_ref["chi2"]
+    if jax_cpu:
+        row["jax_cpu_s"] = round(jax_cpu["wall_s"], 4)
+        row["vs_jax_cpu"] = round(jax_cpu["wall_s"] / t_dev, 2)
+    return row
+
+
+def bench_bcr_1m(b=4, k=1):
+    """1M-state block-tridiag solve: fused Pallas vs XLA vs host CPU."""
+    from gpslam_tpu.ops import pallas_bcr, tridiag
+
+    n = 1 << 20
+    rng = np.random.default_rng(0)
+    D = rng.normal(size=(n, b, b))
+    D = D @ D.transpose(0, 2, 1) + (4 + b) * np.eye(b)[None]
+    U = 0.5 * rng.normal(size=(n, b, b))
+    U[-1] = 0
+    r = rng.normal(size=(n, b, k))
+    D_np = D.astype(np.float32)
+    U_np = U.astype(np.float32)
+    r_np = r.astype(np.float32)
+    D, U, r = (jnp.asarray(x) for x in (D_np, U_np, r_np))
+
+    def timed(f, args, reps=3):
+        g = jax.jit(f)
+        float(g(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(g(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_fused = timed(lambda D, U, r: jnp.sum(
+        pallas_bcr.bcr_solve_fused(D, U, r)), (D, U, r))
+    t_xla = timed(lambda D, U, r: jnp.sum(
+        tridiag.bcr_solve(D, U, r)), (D, U, r))
+    # traffic model: per level the fused kernels read D,U,r of the level
+    # and write L + the reduced (D,U,r) of the next (plus the de/interleave
+    # passes); level sizes halve, so total bytes ~ 3x each direction on the
+    # level-0 arrays ~= 6x their size. Bandwidth is reported against the
+    # DEVICE-time estimate (wall minus the ~22 ms dispatch+fetch RTT).
+    level0_bytes = 4 * n * (2 * b * b + 2 * b * k)
+    t_dev_est = max(t_fused - 0.022, 1e-4)
+    row = {
+        "n_states": n, "block_dim": b,
+        "fused_pallas_s": round(t_fused, 4),
+        "xla_s": round(t_xla, 4),
+        "fused_vs_xla": round(t_xla / t_fused, 2),
+        "device_time_est_s": round(t_dev_est, 4),
+        "effective_gbps_vs_242_roofline": round(
+            3 * level0_bytes / t_dev_est / 1e9, 1),
+    }
+    if jax.default_backend() != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                Dc, Uc, rc = (jnp.asarray(x) for x in (D_np, U_np, r_np))
+                t_cpu = timed(lambda D, U, r: jnp.sum(
+                    tridiag.bcr_solve(D, U, r)), (Dc, Uc, rc), reps=2)
+            row["jax_cpu_s"] = round(t_cpu, 4)
+            row["vs_jax_cpu"] = round(t_cpu / t_fused, 2)
+        except Exception:
+            pass
+    return row
 
 
 def main():
@@ -163,6 +269,16 @@ def main():
         float(f_ms(values_b).sum())
         t_ms = min(t_ms, time.perf_counter() - t0)
 
+    # scale rows (round-2 verdict item 1): never let them sink the headline
+    try:
+        scale_100k = bench_scale_100k()
+    except Exception as e:  # pragma: no cover
+        scale_100k = f"failed: {e!r}"
+    try:
+        scale_1m = bench_bcr_1m()
+    except Exception as e:  # pragma: no cover
+        scale_1m = f"failed: {e!r}"
+
     iters = int(stats.iterations)
     evals_per_s = n_factors * max(iters, 1) * 2 / t_dev  # 2 linearize+error passes
     t_ref = cpu_ref["wall_s"] if cpu_ref else t_cpu
@@ -198,6 +314,8 @@ def main():
             "multiseed_solves": S,
             "multiseed_total_s": round(t_ms, 4),
             "per_solve_ms_amortized": round(1e3 * t_ms / S, 2),
+            "scale_100k": scale_100k,
+            "scale_1m_bcr": scale_1m,
         },
     }
     print(json.dumps(result))

@@ -186,7 +186,7 @@ class SupernodalSolver:
     """
 
     def __init__(self, graph: Graph, values, ordering: str = "md",
-                 mode: str = "auto", dense_tail: int = 0):
+                 mode: str = "auto", dense_tail: int = 0, _symbolic=None):
         self.groups = list(values.keys())
         dims = {g: graph.manifolds[g].dim for g in self.groups}
         self.b = max(dims.values())
@@ -208,9 +208,18 @@ class SupernodalSolver:
                     + self.group_sizes[g]] = dims[g]
         self.var_dim = var_dim
 
-        indptr, indices, _ = order_mod.adjacency_from_graph(graph, values)
-        perm = _run_ordering(indptr, indices, ordering)
-        struct, parent, _fill = order_mod.symbolic_factor(indptr, indices, perm)
+        if _symbolic is not None:
+            # precomputed (perm, struct, parent) — subclasses that need the
+            # symbolic pass for their OWN analysis (e.g. subtree tail
+            # selection) thread it through instead of re-running the host
+            # adjacency + ordering + symbolic factorization (the dominant
+            # host-side preprocessing cost on large graphs)
+            perm, struct, parent = _symbolic
+        else:
+            indptr, indices, _ = order_mod.adjacency_from_graph(graph, values)
+            perm = _run_ordering(indptr, indices, ordering)
+            struct, parent, _fill = order_mod.symbolic_factor(
+                indptr, indices, perm)
         self.perm = perm  # perm[pos] = variable
         pos = np.zeros(n, np.int64)
         pos[perm] = np.arange(n)

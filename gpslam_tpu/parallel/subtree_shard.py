@@ -23,13 +23,24 @@ for: a two-level multifrontal partition of the elimination tree itself.
   - Triangular solves use the same partition: local forward sweep, delta
     psum, replicated dense tail solve, local backward sweep, delta psum.
 
-Per-chip sequential depth is the deepest LOCAL subtree, not the global
-etree — the latency win nested dissection buys. Scales to multi-host by
-widening the mesh axis (the psum rides ICI within a slice).
+Per-chip sequential depth is the deepest subtree ACROSS devices (the
+stacked schedules run in SPMD lockstep over max-over-devices local depth) —
+still far shallower than the global etree, which is the latency win nested
+dissection buys. Scales to multi-host by widening the mesh axis (the psum
+rides ICI within a slice).
 
 Schedules are per-device stacked arrays (leading axis = device), padded per
 level with trash slots: block ids Z (zeros) / T (identity) and rhs row TY
 (zero), so padded lanes compute exact no-ops inside one shard_map program.
+Each device-level list is SORTED by destination and collapsed with a sorted
+segment-sum before its scatter (colliding-index scatters serialize on TPU).
+
+mode="stream" (auto beyond ops.supernodal._STREAM_LEVELS levels) runs the
+local eliminations as a device-side chunked instruction stream — the same
+opcode/chunk machinery as the single-device solver, with every schedule
+array carrying a leading device axis selected by `axis_index` inside the
+kernel — so compile time is O(1) in subtree depth while the communication
+structure (ONE delta psum + replicated MXU dense tail) is unchanged.
 """
 
 from __future__ import annotations
@@ -46,7 +57,8 @@ from ..config import LMConfig
 from ..graph import graph as graphlib
 from ..ops import order as order_mod
 from ..ops import smallblock as sb
-from ..ops.supernodal import _run_ordering
+from ..ops import supernodal as supernodal_mod
+from ..ops.supernodal import _Stream, _collapse_sorted, _run_ordering
 from .mesh import global_put, make_mesh
 from .solve import _stats_struct, pad_graph
 from .supernodal_shard import ShardedSupernodalSolver
@@ -79,17 +91,26 @@ class SubtreeShardedSolver(ShardedSupernodalSolver):
     """
 
     def __init__(self, graph, values, n_shards: int, ordering: str = "nd",
-                 tail_cap: int = 256):
+                 tail_cap: int = 256, mode: str = "auto"):
         # pre-analysis: the tail must be chosen BEFORE the base class builds
-        # its schedules, so run the (host-side) symbolic pass once here
+        # its schedules, so run the (host-side) symbolic pass once here and
+        # thread it into the base constructor (no duplicate symbolic pass)
         indptr, indices, _ = order_mod.adjacency_from_graph(graph, values)
         perm = _run_ordering(indptr, indices, ordering)
-        _struct, parent, _fill = order_mod.symbolic_factor(
+        struct, parent, _fill = order_mod.symbolic_factor(
             indptr, indices, perm)
         n_tail = _choose_tail(parent, n_shards, tail_cap)
         super().__init__(graph, values, n_shards, ordering=ordering,
-                         mode="unrolled", dense_tail=n_tail)
+                         mode="unrolled", dense_tail=n_tail,
+                         _symbolic=(perm, struct, parent))
         self._build_subtree_schedules(parent)
+        if mode == "auto":
+            mode = ("stream" if self.n_sub_levels > supernodal_mod._STREAM_LEVELS
+                    else "unrolled")
+        if mode not in ("unrolled", "stream"):
+            raise ValueError(f"unknown schedule mode {mode!r}")
+        self._sub_mode = mode
+        self._sub_stream = None
 
     # ------------------------------------------------------------ schedules
     def _build_subtree_schedules(self, parent: np.ndarray):
@@ -159,7 +180,19 @@ class SubtreeShardedSolver(ShardedSupernodalSolver):
             for i in sk:
                 bwd[d][lk].append((k, off_id[(i, k)], i))
 
+        # sort every device-level list by destination: duplicate-dst rows
+        # become contiguous so the scatters can collapse them with a sorted
+        # segment-sum before the .at[].add (TPU scatter serializes on
+        # colliding indices; many subtree columns hit the same few tail
+        # separator blocks at the same level)
+        for phase in (upd, fwd, bwd):
+            for dd in range(D):
+                for ll in range(L):
+                    phase[dd][ll].sort(key=lambda r: r[0])
+
         Z, T, TY = self.n_blocks, self.n_blocks + 1, self.n
+        self._sub_raw = {"upd": upd, "cols": cols, "offs": offs,
+                         "fwd": fwd, "bwd": bwd}
 
         def stack(phase, pads):
             """phase[d][l] = list of tuples -> per-level (f0[D,m], f1[D,m],
@@ -205,6 +238,8 @@ class SubtreeShardedSolver(ShardedSupernodalSolver):
         """Local subtree eliminations -> ONE delta psum (the parent frontal
         reduction) -> replicated dense-tail Cholesky. Returns (L_blocks,
         L_tail) exactly like the single-device dense-tail factorize."""
+        if self._sub_mode == "stream":
+            return self._factorize_subtree_stream(blocks, axis_name)
         idx = jax.lax.axis_index(axis_name)
         ext0 = self._extend(blocks)
         ext = ext0
@@ -213,7 +248,8 @@ class SubtreeShardedSolver(ShardedSupernodalSolver):
             if upd is not None:
                 dst, s1, s2 = (a[idx] for a in upd)
                 u = sb.matmul_hp(ext[s1], jnp.swapaxes(ext[s2], -1, -2))
-                ext = ext.at[dst].add(-u)
+                u2, dst2 = _collapse_sorted(u, dst)
+                ext = ext.at[dst2].add(-u2, indices_are_sorted=True)
             if colp is not None:
                 cb = colp[0][idx]
                 ext = ext.at[cb].set(sb.cholesky(ext[cb]))
@@ -232,6 +268,8 @@ class SubtreeShardedSolver(ShardedSupernodalSolver):
     def solve_subtree(self, L, rhs, axis_name):
         """Forward local sweep -> delta psum -> replicated dense tail solve
         -> backward local sweep -> delta psum. rhs (n, b) -> x (n, b)."""
+        if self._sub_mode == "stream":
+            return self._solve_subtree_stream(L, rhs, axis_name)
         idx = jax.lax.axis_index(axis_name)
         Lb, L_tail = L
         ext = self._extend(Lb)
@@ -243,7 +281,8 @@ class SubtreeShardedSolver(ShardedSupernodalSolver):
                 dst, sblk, scol = (a[idx] for a in fwdp)
                 c = jnp.einsum("mij,mj->mi", ext[sblk], y[scol],
                                precision="highest")
-                y = y.at[dst].add(-c)
+                c2, dst2 = _collapse_sorted(c, dst)
+                y = y.at[dst2].add(-c2, indices_are_sorted=True)
             if colp is not None:
                 cb, cy = colp[0][idx], colp[1][idx]
                 y = y.at[cy].set(
@@ -257,12 +296,175 @@ class SubtreeShardedSolver(ShardedSupernodalSolver):
                 dst, sblk, scol = (a[idx] for a in bwdp)
                 c = jnp.einsum("mji,mj->mi", ext[sblk], x[scol],
                                precision="highest")
-                x = x.at[dst].add(-c)
+                c2, dst2 = _collapse_sorted(c, dst)
+                x = x.at[dst2].add(-c2, indices_are_sorted=True)
             if colp is not None:
                 cb, cy = colp[0][idx], colp[1][idx]
                 x = x.at[cy].set(
                     sb.solve_upper_from_lower(
                         ext[cb], x[cy][..., None])[..., 0])
+        x = x0 + jax.lax.psum(x - x0, axis_name)
+        return x[:-1]
+
+    # ------------------------------------------------- streamed numeric path
+    def _pack_dev(self, phase, pad_row):
+        """phase[d][l] lists of k-tuples -> per-level (m_l, D*k) row arrays
+        (m_l = max over devices, device-tiled fields, trash-padded) ready
+        for the chunk packer; chunk tails get the D-tiled pad row."""
+        D = self.n_shards
+        L = self.n_sub_levels
+        k = len(pad_row)
+        pad = np.asarray(pad_row, np.int64)
+        per_level = []
+        for ll in range(L):
+            m = max(len(phase[d][ll]) for d in range(D))
+            if m == 0:
+                per_level.append(np.zeros((0, D * k), np.int64))
+                continue
+            arr = np.tile(pad[None, None], (m, D, 1))
+            for d in range(D):
+                rows = phase[d][ll]
+                if rows:
+                    arr[: len(rows), d, :] = np.asarray(rows, np.int64)
+            per_level.append(arr.reshape(m, D * k))
+        return per_level
+
+    def _get_sub_stream(self):
+        """Chunked device-side instruction streams over the subtree levels;
+        schedule arrays carry a leading device axis (selected by axis_index
+        in the kernels). Built once, lazily."""
+        if self._sub_stream is not None:
+            return self._sub_stream
+        from ..ops.supernodal import _build_branched
+
+        Z, T, TY = self.n_blocks, self.n_blocks + 1, self.n
+        D = self.n_shards
+        L = self.n_sub_levels
+        raw = self._sub_raw
+        cols2 = [[[(j, j) for j in raw["cols"][d][ll]] for ll in range(L)]
+                 for d in range(D)]
+
+        fact_br, (u_lv, c_lv, t_lv) = _build_branched([
+            ("upd", self._pack_dev(raw["upd"], (Z, Z, Z)), (Z, Z, Z) * D),
+            ("chol", self._pack_dev(cols2, (T, TY)), (T, TY) * D),
+            ("trsm", self._pack_dev(raw["offs"], (T, T)), (T, T) * D),
+        ])
+        fwd_br, (fg_lv, fdg_lv) = _build_branched([
+            ("gemv", self._pack_dev(raw["fwd"], (TY, Z, TY)), (TY, Z, TY) * D),
+            ("diag", self._pack_dev(cols2, (T, TY)), (T, TY) * D),
+        ])
+        bwd_br, (bg_lv, bdg_lv) = _build_branched([
+            ("gemv", self._pack_dev(raw["bwd"], (TY, Z, TY)), (TY, Z, TY) * D),
+            ("diag", self._pack_dev(cols2, (T, TY)), (T, TY) * D),
+        ])
+
+        def seq(level_order, phase_lists):
+            ops, args = [], []
+            for li in level_order:
+                for phases in phase_lists:
+                    for op, ci in phases[li]:
+                        ops.append(op)
+                        args.append(ci)
+            return ops, args
+
+        self._sub_stream = (
+            _Stream(*seq(range(L), [u_lv, c_lv, t_lv]), fact_br),
+            _Stream(*seq(range(L), [fg_lv, fdg_lv]), fwd_br),
+            _Stream(*seq(reversed(range(L)), [bg_lv, bdg_lv]), bwd_br),
+        )
+        return self._sub_stream
+
+    def _run_stream(self, stream, mk, carry, idx):
+        if stream.n_steps == 0:
+            return carry
+        branches = []
+        for kind, arr in stream.branches:
+            a = jnp.asarray(arr)  # (S, D*k, C)
+            k = a.shape[1] // self.n_shards
+            branches.append(
+                mk[kind](a.reshape(a.shape[0], self.n_shards, k, a.shape[2]),
+                         idx)
+            )
+        opcodes = jnp.asarray(stream.opcodes)
+        arg_idx = jnp.asarray(stream.arg_idx)
+
+        def body(i, c):
+            return jax.lax.switch(opcodes[i], branches, c, arg_idx[i])
+
+        return jax.lax.fori_loop(0, stream.n_steps, body, carry)
+
+    def _factorize_subtree_stream(self, blocks, axis_name):
+        fact, _, _ = self._get_sub_stream()
+        idx = jax.lax.axis_index(axis_name)
+        ext0 = self._extend(blocks)
+
+        def upd(arr, idx):
+            def f(ext, ai):
+                dst, s1, s2 = arr[ai][idx]
+                u = sb.matmul_hp(ext[s1], jnp.swapaxes(ext[s2], -1, -2))
+                u2, dst2 = _collapse_sorted(u, dst)
+                return ext.at[dst2].add(-u2, indices_are_sorted=True)
+            return f
+
+        def chol(arr, idx):
+            def f(ext, ai):
+                cb = arr[ai][idx][0]
+                return ext.at[cb].set(sb.cholesky(ext[cb]),
+                                      indices_are_sorted=True)
+            return f
+
+        def trsm(arr, idx):
+            def f(ext, ai):
+                o, od = arr[ai][idx]
+                X = jnp.swapaxes(
+                    sb.solve_lower(ext[od], jnp.swapaxes(ext[o], -1, -2)),
+                    -1, -2)
+                return ext.at[o].set(X)
+            return f
+
+        ext = self._run_stream(fact, {"upd": upd, "chol": chol, "trsm": trsm},
+                               ext0, idx)
+        Lb = (ext0 + jax.lax.psum(ext - ext0, axis_name))[:self.n_blocks]
+        return Lb, self._tail_dense_factor(Lb)
+
+    def _solve_subtree_stream(self, L, rhs, axis_name):
+        _, fwd, bwd = self._get_sub_stream()
+        idx = jax.lax.axis_index(axis_name)
+        Lb, L_tail = L
+        ext = self._extend(Lb)
+
+        def gemv(spec):
+            def mk(arr, idx):
+                def f(y, ai):
+                    dst, sblk, scol = arr[ai][idx]
+                    c = jnp.einsum(spec, ext[sblk], y[scol],
+                                   precision="highest")
+                    c2, dst2 = _collapse_sorted(c, dst)
+                    return y.at[dst2].add(-c2, indices_are_sorted=True)
+                return f
+            return mk
+
+        def diag(solve):
+            def mk(arr, idx):
+                def f(y, ai):
+                    cb, cy = arr[ai][idx]
+                    return y.at[cy].set(
+                        solve(ext[cb], y[cy][..., None])[..., 0],
+                        indices_are_sorted=True)
+                return f
+            return mk
+
+        y0 = jnp.concatenate(
+            [rhs, jnp.zeros((1, self.b), rhs.dtype)], 0)  # TY trash row
+        y = self._run_stream(
+            fwd, {"gemv": gemv("mij,mj->mi"), "diag": diag(sb.solve_lower)},
+            y0, idx)
+        y = y0 + jax.lax.psum(y - y0, axis_name)
+        x0 = self._tail_solve(y, L_tail)  # replicated: rows [ns, ns+nt)
+        x = self._run_stream(
+            bwd, {"gemv": gemv("mji,mj->mi"),
+                  "diag": diag(sb.solve_upper_from_lower)},
+            x0, idx)
         x = x0 + jax.lax.psum(x - x0, axis_name)
         return x[:-1]
 
@@ -274,6 +476,7 @@ def lm_solve_subtree_sharded(
     config: LMConfig = LMConfig(),
     axis_name: str = "node",
     tail_cap: int = 256,
+    mode: str = "auto",
 ):
     """Full LM with subtree-pipelined factorization (P3) + factor-sharded
     assembly over the mesh. Returns (values, SolveStats)."""
@@ -283,7 +486,8 @@ def lm_solve_subtree_sharded(
         mesh = make_mesh(axis_name=axis_name)
     n_dev = mesh.devices.size
     gp = pad_graph(graph, n_dev)
-    sn = SubtreeShardedSolver(gp, values0, n_dev, tail_cap=tail_cap)
+    sn = SubtreeShardedSolver(gp, values0, n_dev, tail_cap=tail_cap,
+                              mode=mode)
     dtype = jax.tree_util.tree_leaves(values0)[0].dtype
 
     graph_specs = jax.tree_util.tree_map(lambda _: P(axis_name), gp)

@@ -25,6 +25,17 @@ The whole LM loop runs inside one shard_map region: per-iteration
 communication = 1 psum of the assembled blocks + 1 psum per elimination
 level + 1 scalar psum for the candidate error. Everything is a static-shape
 tensor program; scales to multi-host by widening the mesh.
+
+mode="stream" compiles O(1) in elimination levels (the r2 verdict's item 3:
+large irregular graphs on many devices are exactly where the per-level
+Python unroll hurts): the level loop becomes one `lax.fori_loop` over a
+chunked opcode stream [UPD*, REDUCE, APPLY*, CHOL*, TRSM*] per level.
+UPD chunks carry a leading device axis (each device computes its slice of
+the level's sorted update triples and accumulates into a fixed-capacity
+compact delta buffer); REDUCE is the per-level frontal psum of that buffer
+(fixed shape, so one collective op serves every level); APPLY subtracts the
+reduced delta into the replicated block storage and re-zeroes the rows.
+The triangular solves reuse the base class's replicated streams.
 """
 
 from __future__ import annotations
@@ -40,7 +51,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import LMConfig
 from ..graph import graph as graphlib
 from ..ops import smallblock as sb
-from ..ops.supernodal import SupernodalSolver
+from ..ops.supernodal import SupernodalSolver, _Stream, _collapse_sorted
 from .mesh import make_mesh
 from .solve import _stats_struct, pad_graph
 
@@ -56,6 +67,7 @@ class ShardedSupernodalSolver(SupernodalSolver):
     def __init__(self, graph, values, n_shards: int, **solver_kw):
         super().__init__(graph, values, **solver_kw)
         self.n_shards = n_shards
+        self._sharded_stream = None
 
         # ---- sharded update schedules: per level, split the triple list
         # over devices and remap destinations to a compact per-level range
@@ -120,7 +132,11 @@ class ShardedSupernodalSolver(SupernodalSolver):
 
     def factorize_sharded(self, blocks, axis_name):
         """Level-batched factorization with the update work sharded over
-        `axis_name`; one compact psum per level (frontal reduction)."""
+        `axis_name`; one compact psum per level (frontal reduction).
+        mode="stream" runs the chunked opcode stream instead (compile O(1)
+        in levels; same communication structure)."""
+        if self._mode == "stream":
+            return self._factorize_sharded_stream(blocks, axis_name)
         idx = jax.lax.axis_index(axis_name)
         dtype = blocks.dtype
         b = self.b
@@ -151,6 +167,171 @@ class ShardedSupernodalSolver(SupernodalSolver):
                 blocks = blocks.at[offs].set(X)
         return blocks
 
+    # ------------------------------------------------- streamed factorization
+    def _get_sharded_stream(self):
+        """Chunked opcode stream for the sharded factorization. Per level:
+        [UPD* (device-indexed, into the compact delta), REDUCE (fixed-shape
+        frontal psum), APPLY* (delta -> blocks, re-zero), CHOL*, TRSM*]."""
+        if self._sharded_stream is not None:
+            return self._sharded_stream
+        from ..ops.supernodal import _build_branched
+
+        D = self.n_shards
+        Z, T = self.n_blocks, self.n_blocks + 1
+        L = len(self.levels)
+
+        # per level: sort triples by dst, compact ids, contiguous split
+        level_uniq = []
+        cap = 1
+        for dst, s1, s2 in self.upd_sched:
+            if len(dst) == 0:
+                level_uniq.append(None)
+                continue
+            order = np.argsort(dst, kind="stable")
+            uniq, compact = np.unique(dst[order], return_inverse=True)
+            level_uniq.append((uniq, compact, s1[order], s2[order]))
+            cap = max(cap, len(uniq))
+        self._delta_cap = cap
+
+        upd_rows, apply_rows = [], []
+        for lu in level_uniq:
+            if lu is None:
+                upd_rows.append(np.zeros((0, D * 3), np.int64))
+                apply_rows.append(np.zeros((0, 2), np.int64))
+                continue
+            uniq, compact, a1, a2 = lu
+            m = len(compact)
+            W = -(-m // D)
+            rows = np.tile(np.asarray([cap, Z, Z], np.int64)[None, None],
+                           (W, D, 1))
+            tri = np.stack([compact, a1, a2], 1)
+            for d in range(D):
+                sl = tri[d * W:(d + 1) * W]
+                rows[: len(sl), d, :] = sl
+            upd_rows.append(rows.reshape(W, D * 3))
+            apply_rows.append(
+                np.stack([uniq, np.arange(len(uniq))], 1).astype(np.int64)
+            )
+
+        def sort0(rows_list):
+            out = []
+            for rows in rows_list:
+                if len(rows):
+                    rows = rows[np.argsort(rows[:, 0], kind="stable")]
+                out.append(rows)
+            return out
+
+        chol_rows = [c[0].reshape(-1, 1) for c in self.col_sched]
+        trsm_rows = sort0([
+            np.stack([c[1], c[2]], 1) if len(c[1]) else np.zeros((0, 2))
+            for c in self.col_sched
+        ])
+
+        fact_br, (u_lv, a_lv, c_lv, t_lv) = _build_branched([
+            ("upd", upd_rows, (cap, Z, Z) * D),
+            ("apply", apply_rows, (T, cap)),
+            ("chol", chol_rows, (T,)),
+            ("trsm", trsm_rows, (T, T)),
+        ])
+        reduce_op = len(fact_br)
+        fact_br.append(("reduce", np.zeros((1, 1, 1), np.int32)))
+
+        ops, args = [], []
+        for li in range(L):
+            for op, ci in u_lv[li]:
+                ops.append(op)
+                args.append(ci)
+            if u_lv[li]:
+                ops.append(reduce_op)
+                args.append(0)
+            for phases in (a_lv, c_lv, t_lv):
+                for op, ci in phases[li]:
+                    ops.append(op)
+                    args.append(ci)
+        self._sharded_stream = _Stream(ops, args, fact_br)
+        return self._sharded_stream
+
+    def _factorize_sharded_stream(self, blocks, axis_name):
+        stream = self._get_sharded_stream()
+        idx = jax.lax.axis_index(axis_name)
+        D = self.n_shards
+        b = self.b
+        dtype = blocks.dtype
+        cap = self._delta_cap
+        pad = jnp.stack([jnp.zeros((b, b), dtype), jnp.eye(b, dtype=dtype)])
+        ext = jnp.concatenate([blocks, pad], 0)
+        delta = jnp.zeros((cap + 1, b, b), dtype)
+
+        def upd(arr):
+            a = jnp.asarray(arr)
+            a = a.reshape(a.shape[0], D, 3, a.shape[2])
+
+            def f(carry, ai):
+                ext, delta = carry
+                dstc, s1, s2 = a[ai][idx]
+                u = sb.matmul_hp(ext[s1], jnp.swapaxes(ext[s2], -1, -2))
+                u2, dst2 = _collapse_sorted(u, dstc)
+                return (ext,
+                        delta.at[dst2].add(u2, indices_are_sorted=True))
+            return f
+
+        def reduce_(arr):
+            def f(carry, ai):
+                ext, delta = carry
+                return (ext, jax.lax.psum(delta, axis_name))
+            return f
+
+        def apply_(arr):
+            a = jnp.asarray(arr)
+
+            def f(carry, ai):
+                ext, delta = carry
+                bids, drows = a[ai]
+                ext = ext.at[bids].add(-delta[drows],
+                                       indices_are_sorted=True)
+                delta = delta.at[drows].set(
+                    jnp.zeros((), dtype), indices_are_sorted=True)
+                return (ext, delta)
+            return f
+
+        def chol(arr):
+            a = jnp.asarray(arr)
+
+            def f(carry, ai):
+                ext, delta = carry
+                cols = a[ai][0]
+                return (ext.at[cols].set(sb.cholesky(ext[cols]),
+                                         indices_are_sorted=True), delta)
+            return f
+
+        def trsm(arr):
+            a = jnp.asarray(arr)
+
+            def f(carry, ai):
+                ext, delta = carry
+                offs, od = a[ai]
+                X = jnp.swapaxes(
+                    sb.solve_lower(ext[od], jnp.swapaxes(ext[offs], -1, -2)),
+                    -1, -2)
+                return (ext.at[offs].set(X), delta)
+            return f
+
+        mk = {"upd": upd, "reduce": reduce_, "apply": apply_, "chol": chol,
+              "trsm": trsm}
+        branches = [mk[kind](arr) for kind, arr in stream.branches]
+        opcodes = jnp.asarray(stream.opcodes)
+        arg_idx = jnp.asarray(stream.arg_idx)
+
+        def body(i, carry):
+            return jax.lax.switch(opcodes[i], branches, carry, arg_idx[i])
+
+        if stream.n_steps:
+            ext, delta = jax.lax.fori_loop(0, stream.n_steps, body,
+                                           (ext, delta))
+        if self.n_tail:
+            return ext, self._tail_dense_factor(ext)
+        return ext
+
     def unpack(self, graph, x):
         """(n, b) solution in elimination positions -> delta dict."""
         x_var = x[jnp.asarray(self.pos)]
@@ -169,6 +350,7 @@ def lm_solve_supernodal_sharded(
     mesh: Optional[Mesh] = None,
     config: LMConfig = LMConfig(),
     axis_name: str = "node",
+    mode: str = "auto",
 ):
     """Full LM with supernode-sharded factorization + factor-sharded
     assembly over the mesh. Returns (values, SolveStats)."""
@@ -178,7 +360,7 @@ def lm_solve_supernodal_sharded(
         mesh = make_mesh(axis_name=axis_name)
     n_dev = mesh.devices.size
     gp = pad_graph(graph, n_dev)
-    sn = ShardedSupernodalSolver(gp, values0, n_dev)
+    sn = ShardedSupernodalSolver(gp, values0, n_dev, mode=mode)
     dtype = jax.tree_util.tree_leaves(values0)[0].dtype
 
     graph_specs = jax.tree_util.tree_map(lambda _: P(axis_name), gp)

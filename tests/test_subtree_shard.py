@@ -117,3 +117,69 @@ def test_subtree_lm_matches_single_device(lc_problem):
     np.testing.assert_allclose(
         np.asarray(vals_sh["state"]), np.asarray(vals_1["state"]), atol=1e-8
     )
+
+
+def test_stream_matches_unrolled(lc_problem):
+    """Streamed subtree factorization/solves (device-side chunked
+    instruction stream) == the unrolled per-level schedules, same mesh."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from gpslam_tpu.graph import graph as graphlib
+
+    graph, values = lc_problem
+    gp = pad_graph(graph, N_DEV)
+    mesh = make_mesh(N_DEV, axis_name="node")
+    lam = jnp.asarray(0.05, jnp.float64)
+    sn_u = SubtreeShardedSolver(gp, values, N_DEV, mode="unrolled")
+    sn_s = SubtreeShardedSolver(gp, values, N_DEV, mode="stream")
+
+    graph_specs = jax.tree_util.tree_map(lambda _: P("node"), gp)
+    values_specs = jax.tree_util.tree_map(lambda _: P(), values)
+
+    def step(sn):
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(graph_specs, values_specs),
+            out_specs={g: P() for g in values}, check_vma=False,
+        )
+        def f(graph_local, vals):
+            lins = graphlib.linearize(graph_local, vals)
+            blocks, g = sn.assemble_local(graph_local, lins, vals, "node")
+            blocks, g = jax.lax.psum((blocks, g), "node")
+            blocks = sn.add_damping(blocks, lam)
+            L = sn.factorize_subtree(blocks, "node")
+            x = sn.solve_subtree(L, -g, "node")
+            return sn.unpack(gp, x)
+        return jax.jit(f)(gp, values)
+
+    d_u = step(sn_u)
+    d_s = step(sn_s)
+    for grp in d_u:
+        np.testing.assert_allclose(
+            np.asarray(d_s[grp]), np.asarray(d_u[grp]), atol=1e-10,
+            err_msg=grp,
+        )
+
+
+@pytest.mark.slow
+def test_subtree_stream_lm_at_scale():
+    """End-to-end subtree-sharded LM in STREAM mode on a 1000-state SE(2)
+    loop-closure graph — real fill, multi-level subtree schedules, 8-dev
+    CPU mesh (VERDICT r2 item 3's done-criterion shape)."""
+    data = synthetic.make_se2_pose_graph(n_states=1000, seed=7)
+    assert data["lc_i"].shape[0] > 30
+    graph, values = pose2_slam.build(data, dtype=jnp.float64)
+    mesh = make_mesh(N_DEV, axis_name="node")
+    cfg = LMConfig(max_iterations=6)
+
+    vals_sh, st_sh = lm_solve_subtree_sharded(graph, values, mesh, cfg,
+                                              mode="stream")
+    sn = SupernodalSolver(pad_graph(graph, N_DEV), values, ordering="nd")
+    vals_1, st_1 = lm_solve(pad_graph(graph, N_DEV), values, cfg,
+                            solver=sn.solver)
+    assert float(st_sh.error) == pytest.approx(float(st_1.error), rel=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(vals_sh["state"]), np.asarray(vals_1["state"]), atol=1e-6
+    )

@@ -92,3 +92,40 @@ def test_sharded_linear_step_matches(lc_problem):
         np.testing.assert_allclose(
             np.asarray(d_sh[grp]), np.asarray(d_1[grp]), atol=1e-10
         )
+
+
+def test_sharded_stream_lm_matches_unrolled(lc_problem):
+    """P2 factorization as a chunked opcode stream (UPD*/REDUCE/APPLY*/
+    CHOL*/TRSM* per level, compile O(1) in levels) == the per-level
+    unrolled sharded path, end-to-end through LM."""
+    graph, values = lc_problem
+    mesh = make_mesh(N_DEV, axis_name="node")
+    cfg = LMConfig(max_iterations=6)
+    v_u, st_u = lm_solve_supernodal_sharded(graph, values, mesh, cfg,
+                                            mode="unrolled")
+    v_s, st_s = lm_solve_supernodal_sharded(graph, values, mesh, cfg,
+                                            mode="stream")
+    assert float(st_s.error) == pytest.approx(float(st_u.error), rel=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(v_s["state"]), np.asarray(v_u["state"]), atol=1e-9
+    )
+
+
+@pytest.mark.slow
+def test_sharded_stream_lm_at_scale():
+    """Supernode-sharded LM in STREAM mode on a 1000-state SE(2)
+    loop-closure graph (real fill, 8-dev CPU mesh) vs single-device."""
+    data = synthetic.make_se2_pose_graph(n_states=1000, seed=7)
+    assert data["lc_i"].shape[0] > 30
+    graph, values = pose2_slam.build(data, dtype=jnp.float64)
+    mesh = make_mesh(N_DEV, axis_name="node")
+    cfg = LMConfig(max_iterations=6)
+    v_s, st_s = lm_solve_supernodal_sharded(graph, values, mesh, cfg,
+                                            mode="stream")
+    sn = SupernodalSolver(pad_graph(graph, N_DEV), values)
+    v_1, st_1 = lm_solve(pad_graph(graph, N_DEV), values, cfg,
+                         solver=sn.solver)
+    assert float(st_s.error) == pytest.approx(float(st_1.error), rel=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(v_s["state"]), np.asarray(v_1["state"]), atol=1e-6
+    )
