@@ -233,10 +233,16 @@ class SupernodalSolver:
     def _set_mode(self, mode: str):
         if mode == "auto":
             mode = "stream" if len(self.levels) > _STREAM_LEVELS else "unrolled"
-        if mode not in ("unrolled", "stream"):
+        if mode not in ("unrolled", "stream", "pallas"):
             raise ValueError(f"unknown schedule mode {mode!r}")
+        if mode == "pallas" and self.b % 8 != 0:
+            raise ValueError(
+                f"pallas mode needs a block dim divisible by 8 (sublane "
+                f"tiling); got b={self.b} — use amalgamated panels"
+            )
         self._mode = mode
         self._stream = None  # built lazily on first factorize
+        self._pallas_sched = None
 
     def _build_numeric_schedules(self, struct, parent):
         """Per-level static schedules for the block factorization/solves.
@@ -629,6 +635,125 @@ class SupernodalSolver:
                       "diag": diag(sb.solve_upper_from_lower)})
         return y[:-1]
 
+    # ------------------------------------------- pallas gather-GEMM mode
+    def _get_pallas_sched(self):
+        """Per-level index tables for the gather-GEMM kernels, sorted by
+        destination and padded to bucket sizes with trash rows (block ids
+        Z/T, rhs row TY, Linv row TY=n which holds the identity)."""
+        if self._pallas_sched is not None:
+            return self._pallas_sched
+        from . import pallas_supernodal as psn
+
+        Z, T, TY = self.n_blocks, self.n_blocks + 1, self.n
+
+        def padded(rows, pad_row):
+            rows = np.asarray(rows, np.int64)
+            if rows.size:
+                rows = rows.reshape(rows.shape[0], -1)
+                rows = rows[np.argsort(rows[:, 0], kind="stable")]
+            else:
+                rows = np.zeros((0, len(pad_row)), np.int64)
+            C = psn.bucket(max(len(rows), 1))
+            pad = np.tile(np.asarray(pad_row, np.int64)[None],
+                          (C - len(rows), 1))
+            out = np.concatenate([rows, pad], 0).astype(np.int32)
+            return tuple(out[:, k] for k in range(out.shape[1]))
+
+        sched = []
+        for li in range(len(self.levels)):
+            u = self.upd_sched[li]
+            c = self.col_sched[li]
+            f = self.fwd_sched[li]
+            bw = self.bwd_sched[li]
+            lv = {
+                "upd": padded(np.stack(u, 1), (T, Z, Z)) if len(u[0]) else None,
+                "cols": np.asarray(c[0], np.int32),
+                "trsm": (padded(np.stack([c[1], c[2]], 1), (T, TY))
+                         if len(c[1]) else None),
+                "fwd": (padded(np.stack(f, 1), (TY, Z, TY))
+                        if len(f[0]) else None),
+                "diag": (padded(np.stack([c[0], c[0]], 1), (TY, TY))
+                         if len(c[0]) else None),
+                "bwd": (padded(np.stack(bw, 1), (TY, Z, TY))
+                        if len(bw[0]) else None),
+            }
+            sched.append(lv)
+        self._pallas_sched = sched
+        return sched
+
+    def _factorize_pallas(self, blocks):
+        """Per-level: ONE gather-GEMM-accumulate kernel for the updates,
+        batched blocked Cholesky + panel inverses (XLA), ONE gather-GEMM
+        kernel for the TRSMs (X = A L^{-T} against the inverse table).
+        Returns (padded blocks, Linv table)."""
+        from . import pallas_supernodal as psn
+
+        if blocks.dtype != jnp.float32:
+            raise ValueError("pallas mode is f32-only")
+        b = self.b
+        interp = jax.default_backend() != "tpu"
+        eye = jnp.eye(b, dtype=jnp.float32)
+        pad = jnp.stack([jnp.zeros((b, b), jnp.float32), eye])
+        ext = jnp.concatenate([blocks, pad], 0)
+        Linv = jnp.concatenate(
+            [jnp.zeros((self.n, b, b), jnp.float32), eye[None]], 0
+        )
+        for lv in self._get_pallas_sched():
+            if lv["upd"] is not None:
+                dst, s1, s2 = lv["upd"]
+                ext = psn.gather_gemm(ext, ext, ext, s1, s2, dst,
+                                      op="mm_bt", combine="acc_sub",
+                                      interpret=interp)
+            cols = lv["cols"]
+            if len(cols):
+                Ld = sb.cholesky(ext[cols])
+                ext = ext.at[cols].set(Ld, indices_are_sorted=True)
+                Li = sb.solve_lower(Ld, jnp.broadcast_to(eye, Ld.shape))
+                Linv = Linv.at[cols].set(Li, indices_are_sorted=True)
+            if lv["trsm"] is not None:
+                off, od = lv["trsm"]
+                ext = psn.gather_gemm(ext, Linv, ext, off, od, off,
+                                      op="mm_bt", combine="set",
+                                      interpret=interp)
+        return ext, Linv
+
+    def _solve_pallas(self, factor, rhs, L_tail=None):
+        """Forward/backward sweeps as gather-GEMM kernels; right-hand sides
+        ride as (n+1, b, 8) thin panels (column 0 real, row n trash)."""
+        from . import pallas_supernodal as psn
+
+        ext, Linv = factor
+        interp = jax.default_backend() != "tpu"
+        n, b = self.n, self.b
+        y = jnp.zeros((n + 1, b, 8), jnp.float32)
+        y = y.at[:n, :, 0].set(rhs)
+        sched = self._get_pallas_sched()
+        for lv in sched:
+            if lv["fwd"] is not None:
+                dst, sblk, scol = lv["fwd"]
+                y = psn.gather_gemm(ext, y, y, sblk, scol, dst,
+                                    op="mm", combine="acc_sub",
+                                    interpret=interp)
+            if lv["diag"] is not None:
+                d, a = lv["diag"]
+                y = psn.gather_gemm(Linv, y, y, a, d, d,
+                                    op="mm", combine="set", interpret=interp)
+        if L_tail is not None:
+            yt = self._tail_solve(y[:, :, 0], L_tail)
+            y = y.at[:, :, 0].set(yt)
+        for lv in reversed(sched):
+            if lv["bwd"] is not None:
+                dst, sblk, scol = lv["bwd"]
+                y = psn.gather_gemm(ext, y, y, sblk, scol, dst,
+                                    op="mm_t", combine="acc_sub",
+                                    interpret=interp)
+            if lv["diag"] is not None:
+                d, a = lv["diag"]
+                y = psn.gather_gemm(Linv, y, y, a, d, d,
+                                    op="mm_t", combine="set",
+                                    interpret=interp)
+        return y[:n, :, 0]
+
     # ------------------------------------------------------- dense tail
     def _tail_dense_factor(self, blocks):
         """Gather the fully-updated tail blocks into one dense
@@ -659,14 +784,18 @@ class SupernodalSolver:
     def factorize(self, blocks):
         """A -> L over the level schedules. In stream mode the result keeps
         two extra pad slots (zero + identity) consumed by the stream solve;
-        slice [:n_blocks] to compare against the unrolled factor. With a
-        dense tail, returns (L_blocks, L_tail)."""
-        if self._mode == "stream":
+        slice [:n_blocks] to compare against the unrolled factor. In pallas
+        mode the factor is (padded blocks, panel-inverse table). With a
+        dense tail, returns (factor, L_tail)."""
+        if self._mode == "pallas":
+            blocks = self._factorize_pallas(blocks)
+        elif self._mode == "stream":
             blocks = self._factorize_stream(blocks)
         else:
             blocks = self._factorize_unrolled(blocks)
         if self.n_tail:
-            return blocks, self._tail_dense_factor(blocks)
+            tail_src = blocks[0] if self._mode == "pallas" else blocks
+            return blocks, self._tail_dense_factor(tail_src)
         return blocks
 
     def solve_factored(self, blocks, rhs):
@@ -674,6 +803,8 @@ class SupernodalSolver:
         L_tail = None
         if self.n_tail:
             blocks, L_tail = blocks
+        if self._mode == "pallas":
+            return self._solve_pallas(blocks, rhs, L_tail)
         if self._mode == "stream":
             return self._solve_stream(blocks, rhs, L_tail)
         return self._solve_unrolled(blocks, rhs, L_tail)
@@ -792,6 +923,8 @@ class SupernodalSolver:
         L_tail = None
         if self.n_tail:
             L, L_tail = L
+        if isinstance(L, tuple):  # pallas factor: (padded blocks, Linv)
+            L = L[0][: self.n_blocks]
         S = jnp.zeros_like(L)
         if L_tail is not None:
             # seed every tail-pattern block of H^{-1} from the dense tail:

@@ -512,9 +512,12 @@ class FixedLagSmoother:
         communication (hypotheses are independent; this is the idiomatic
         sharding for many-seed smoothing — window solves are latency-bound
         at W ~ 100, so splitting WITHIN a window would trade no-comm
-        parallelism for per-level collectives). Leading axis S must be
-        divisible by the mesh size. Scales to multi-host by widening the
-        mesh (the same shard_map runs under jax.distributed)."""
+        parallelism for per-level collectives). Arbitrary seed counts: the
+        leading axis S is padded to a mesh multiple with copies of the last
+        seed (padded lanes compute and are dropped — the same padding idiom
+        as time_shard/pad_graph) and outputs are sliced back to S. Scales to
+        multi-host by widening the mesh (the same shard_map runs under
+        jax.distributed)."""
         import functools
 
         from jax.sharding import PartitionSpec as P
@@ -523,10 +526,17 @@ class FixedLagSmoother:
 
         n_dev = mesh.devices.size
         S = jax.tree_util.tree_leaves(s)[0].shape[0]
-        if S % n_dev:
-            raise ValueError(f"seed count {S} not divisible by {n_dev}")
         seqs = self._cast_seqs(odom_seq, rng_tau_seq, rng_z_seq,
                                rng_lm_seq, rng_valid_seq)
+        S_pad = ((S + n_dev - 1) // n_dev) * n_dev
+        if S_pad != S:
+            def padf(a):
+                return jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (S_pad - S,) + a.shape[1:])],
+                    0,
+                )
+            s = jax.tree_util.tree_map(padf, s)
+            seqs = jax.tree_util.tree_map(padf, seqs)
         spec_of = lambda t: jax.tree_util.tree_map(  # noqa: E731
             lambda _: P(axis_name), t)
         s = global_put(s, mesh, spec_of(s))
@@ -543,7 +553,10 @@ class FixedLagSmoother:
         def run(s_loc, *seqs_loc):
             return jax.vmap(self._scan_steps)(s_loc, *seqs_loc)
 
-        return jax.jit(run)(s, *seqs)
+        out = jax.jit(run)(s, *seqs)
+        if S_pad != S:
+            out = jax.tree_util.tree_map(lambda a: a[:S], out)
+        return out
 
     def _step_impl(self, s, odom_z, rng_tau, rng_z, rng_lm, rng_valid):
         cfg = self.config

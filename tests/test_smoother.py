@@ -358,3 +358,14 @@ def test_run_steps_multiseed_and_sharded(scenario):
                                rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_sh.x), np.asarray(s_ms.x),
                                rtol=2e-5, atol=1e-5)
+
+    # non-divisible seed count (S=3 on a 4-device mesh): the seed axis is
+    # padded with the last seed and outputs sliced back — same results
+    s_b3 = jax.tree_util.tree_map(lambda a: a[:3], s_batch)
+    seqs_b3 = tuple(q[:3] for q in seqs_b)
+    s_sh3, outs_sh3 = sm.run_steps_sharded(s_b3, *seqs_b3, mesh)
+    np.testing.assert_allclose(np.asarray(outs_sh3["head_x"]),
+                               np.asarray(outs_ms["head_x"][:3]),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_sh3.x), np.asarray(s_ms.x[:3]),
+                               rtol=2e-5, atol=1e-5)
