@@ -1,37 +1,37 @@
-"""Headline benchmark: Plaza1-scale full-batch LM solve (BASELINE.json §2).
-
-Problem: synthetic range-only SLAM at Plaza1 scale — 9700 chain states
-(position+velocity, WNOA GP prior), ~3.5k GP-interpolated range measurements
-to 4 beacons, 9699 odometry factors (the real Plaza1 dataset is unreachable:
-zero-egress environment; see BASELINE.md). Solver: BCR+Schur chain backend,
-full LM to convergence, f32.
+"""Headline benchmark: full-batch LM solve wall-clock (BASELINE.json §2).
 
 Reports ONE JSON line:
-  metric       plaza1_scale_lm_wallclock
+  metric       lm_wallclock_100k_states — the chip-decisive scale row
+               (VERDICT r3 item 7): a 100k-state / 234k-factor WNOA
+               range-SLAM full LM on the device vs the f64 scipy
+               sparse-direct (SuperLU) CPU reference running the SAME
+               problem to the SAME chi^2 with the same GTSAM-default LM
+               schedule (bench/cpu_reference.py documents the methodology —
+               the closest GTSAM stand-in in this zero-egress environment).
+               The former headline, the Plaza1-scale 9.7k-state solve, sits
+               on the ~22 ms tunnel dispatch-RTT floor, so its ratio
+               measures latency, not the chip; it is retained in
+               extra.plaza1_9700 for cross-round continuity (same
+               methodology, all denominators intact).
   value        steady-state wall-clock seconds of the full LM solve on the
                default (TPU) backend
   unit         s
-  vs_baseline  speedup vs the CPU reference denominator: an f64 scipy
-               sparse-direct (SuperLU) LM on this host running the SAME
-               problem to the SAME chi^2 with the same GTSAM-default LM
-               schedule (bench/cpu_reference.py documents the methodology —
-               the closest GTSAM stand-in available in this zero-egress
-               environment; BASELINE.md records the target >=10x vs C++ CPU).
-               The denominator runs in a subprocess on the JAX CPU backend
-               with x64 enabled.
+  vs_baseline  CPU-reference wall / device wall
 
-Extras include the same solve on this host's JAX-CPU backend (the round-1
-denominator, kept for continuity), RTT-amortized multiseed throughput with
-genuinely perturbed seeds, the calibrated chip context (22 ms dispatch
-RTT floor, 242 GB/s HBM, 24 TF f32 — BASELINE.md), and the SCALE rows the
-round-2 verdict prescribed (where the chip, not the methodology, wins):
+Extras: the Plaza1-scale continuity row (with its SuperLU + same-code
+JAX-CPU denominators), RTT-amortized multiseed throughput with genuinely
+perturbed seeds, the calibrated chip context (22 ms dispatch RTT floor,
+242 GB/s HBM, 24 TF f32 — BASELINE.md), and the other scale rows:
 
-  scale_100k   100k-state / 234k-factor full LM: TPU vs the f64 SuperLU
-               CPU reference AND vs the same JAX code on the host CPU.
-  scale_1m_bcr 1M-state block-tridiagonal solve (BASELINE config-5 scale,
-               single chip): fused plane-major Pallas BCR vs the XLA path
-               vs the host CPU, with the achieved effective bandwidth
-               against the 242 GB/s roofline.
+  scale_100k    the headline row's full detail (both CPU denominators).
+  scale_lc_10k  10k-state SE(2) LOOP-CLOSURE graph (general-sparse path):
+                supernodal LM in pallas (gather-GEMM kernels) AND stream
+                modes, factorization GFLOP/s, pallas-vs-stream ratio,
+                chi^2 parity, vs the SuperLU loop-closure reference.
+  scale_1m_bcr  1M-state block-tridiagonal solve (BASELINE config-5 scale,
+                single chip): fused plane-major Pallas BCR vs the XLA path
+                vs the host CPU, with achieved bandwidth vs the 242 GB/s
+                roofline (itemized traffic model).
 """
 
 import json
@@ -149,6 +149,118 @@ def bench_scale_100k():
     return row
 
 
+def bench_scale_lc(n_states=10_000):
+    """General-sparse (loop-closure) path on device — VERDICT r3 item 1b.
+
+    A >=10k-state SE(2) pose graph with loop closures CANNOT use the chain
+    solver; it exercises the supernodal path (nd ordering, w_max=8
+    amalgamated panels, dense top-of-tree). Times the full LM AND the
+    numeric factorization alone in BOTH large-graph modes:
+      pallas  per-level gather-GEMM kernels (ops/pallas_supernodal.py) —
+              what auto_solver dispatches on TPU/f32
+      stream  chunked XLA instruction stream (the measured fallback)
+    against the f64 SuperLU CPU reference on the same graph
+    (bench/run_cpu_reference_lc.py). Reports ms, factorization GFLOP/s and
+    the pallas-vs-stream device ratio; asserts chi^2 parity between modes.
+    """
+    import io
+    from contextlib import redirect_stdout
+
+    from gpslam_tpu.config import LMConfig
+    from gpslam_tpu.graph import graph as graphlib
+    from gpslam_tpu.io import synthetic
+    from gpslam_tpu.models import pose2_slam
+    from gpslam_tpu.ops.amalgamated import AmalgamatedSupernodalSolver
+    from gpslam_tpu.solve import lm_solve
+    from gpslam_tpu.solve.auto import auto_solver
+
+    data = synthetic.make_se2_pose_graph(n_states=n_states, seed=4)
+    graph, values = pose2_slam.build(data, dtype=jnp.float32)
+    row = {"n_states": n_states,
+           "n_factors": count_factors(graph),
+           "n_loop_closures": int(data["lc_i"].shape[0])}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        auto_solver(graph, values, verbose=True)
+    row["auto_dispatch"] = buf.getvalue().strip()
+
+    cfg = LMConfig(max_iterations=30)
+    lins = graphlib.linearize(graph, values)
+    chi2 = {}
+    for mode in ("pallas", "stream"):
+        if mode == "pallas" and jax.default_backend() == "cpu":
+            continue  # interpret-mode timing is meaningless
+        sn = AmalgamatedSupernodalSolver(
+            graph, values, ordering="nd", w_max=8, mode=mode, dense_tail=64
+        )
+        # full LM wall-clock
+        f = jax.jit(lambda g, v, s=sn.solver: lm_solve(g, v, cfg, solver=s))
+        vals, st = f(graph, values)
+        float(st.error)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            vals, st = f(graph, values)
+            float(st.error)
+            best = min(best, time.perf_counter() - t0)
+        chi2[mode] = float(st.error)
+        # factorization-only, fori-amortized (removes the dispatch RTT)
+        blocks, _ = sn.assemble(graph, lins, values, jnp.float32(1e-2))
+
+        @jax.jit
+        def fact_loop(blocks, sn=sn, reps=8):
+            def body(i, acc):
+                L = sn.factorize(blocks)
+                leaf = jax.tree_util.tree_leaves(L)[0]
+                return acc + leaf.reshape(-1)[0] * 1e-20
+
+            return jax.lax.fori_loop(0, reps, body,
+                                     jnp.zeros((), jnp.float32))
+
+        float(fact_loop(blocks))
+        tf_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fact_loop(blocks))
+            tf_best = min(tf_best, time.perf_counter() - t0)
+        t_fact = tf_best / 8
+        B = sn.b
+        n_upd = sum(len(u[0]) for u in sn.upd_sched)
+        n_trsm = sum(len(c[1]) for c in sn.col_sched)
+        n_chol = sum(len(c[0]) for c in sn.col_sched)
+        flops = (2 * n_upd * B**3 + n_trsm * B**3 + n_chol * B**3 / 3
+                 + (sn.n_tail * B) ** 3 / 3)
+        row[mode] = {
+            "lm_wall_s": round(best, 4),
+            "iterations": int(st.iterations),
+            "chi2_final": chi2[mode],
+            "converged": bool(st.converged),
+            "factorize_ms_amortized": round(t_fact * 1e3, 3),
+            "factorize_gflops": round(flops / t_fact / 1e9, 1),
+            "levels": len(sn.levels),
+        }
+    if "pallas" in row and "stream" in row:
+        row["pallas_vs_stream_lm"] = round(
+            row["stream"]["lm_wall_s"] / row["pallas"]["lm_wall_s"], 2)
+        row["pallas_vs_stream_factorize"] = round(
+            row["stream"]["factorize_ms_amortized"]
+            / row["pallas"]["factorize_ms_amortized"], 2)
+        # §5.2 sanitizer: the compiled pallas kernels must agree with the
+        # stream path on the full nonlinear solve
+        rel = abs(chi2["pallas"] - chi2["stream"]) / max(chi2["stream"], 1.0)
+        row["chi2_rel_diff_pallas_vs_stream"] = float(f"{rel:.2e}")
+        row["parity_ok"] = bool(rel < 1e-3)
+    cpu_ref = _run_subprocess_json("run_cpu_reference_lc.py", n_states, 600)
+    if cpu_ref:
+        row["cpu_superlu_s"] = round(cpu_ref["wall_s"], 3)
+        row["cpu_superlu_chi2"] = cpu_ref["chi2"]
+        dev = row.get("pallas") or row.get("stream")
+        if dev:
+            row["vs_baseline"] = round(cpu_ref["wall_s"] / dev["lm_wall_s"], 2)
+    return row
+
+
 def bench_bcr_1m(b=4, k=1):
     """1M-state block-tridiag solve: fused Pallas vs XLA vs host CPU."""
     from gpslam_tpu.ops import pallas_bcr, tridiag
@@ -179,12 +291,20 @@ def bench_bcr_1m(b=4, k=1):
         pallas_bcr.bcr_solve_fused(D, U, r)), (D, U, r))
     t_xla = timed(lambda D, U, r: jnp.sum(
         tridiag.bcr_solve(D, U, r)), (D, U, r))
-    # traffic model: per level the fused kernels read D,U,r of the level
-    # and write L + the reduced (D,U,r) of the next (plus the de/interleave
-    # passes); level sizes halve, so total bytes ~ 3x each direction on the
-    # level-0 arrays ~= 6x their size. Bandwidth is reported against the
-    # DEVICE-time estimate (wall minus the ~22 ms dispatch+fetch RTT).
-    level0_bytes = 4 * n * (2 * b * b + 2 * b * k)
+    # traffic model (itemized from pallas_bcr.py, per level of size s with
+    # set(s) = s*(2*b*b + b*k)*4 bytes — the D,U,r arrays at that size):
+    #   deinterleave R+W set(s); reduce kernel R set(s), W ~0.72 set(s)
+    #   (L + reduced D,U,r at s/2); backsub R ~0.78 set(s), W x_odd;
+    #   interleave R+W of x. Summed with b=4,k=1 weights ~4.8 set(s) per
+    #   level; level sizes halve, so total ~9.5x the level-0 set. Bandwidth
+    #   is reported against the DEVICE-time estimate (wall minus the ~22 ms
+    #   dispatch+fetch RTT) — NOTE that subtraction leaves a ~5 ms estimate
+    #   from a ~27 ms wall measurement, so the roofline figure is noise-
+    #   dominated (+-30%); it locates the kernel at roughly the 242 GB/s
+    #   bound, which is the point. (The round-3 report used a 3x multiplier
+    #   that ignored the de/interleave round-trips and backsub reads — that,
+    #   not kernel headroom, was the "41% of roofline" anomaly.)
+    set0_bytes = 4 * n * (2 * b * b + b * k)
     t_dev_est = max(t_fused - 0.022, 1e-4)
     row = {
         "n_states": n, "block_dim": b,
@@ -193,7 +313,7 @@ def bench_bcr_1m(b=4, k=1):
         "fused_vs_xla": round(t_xla / t_fused, 2),
         "device_time_est_s": round(t_dev_est, 4),
         "effective_gbps_vs_242_roofline": round(
-            3 * level0_bytes / t_dev_est / 1e9, 1),
+            9.5 * set0_bytes / t_dev_est / 1e9, 1),
     }
     if jax.default_backend() != "cpu":
         try:
@@ -269,53 +389,88 @@ def main():
         float(f_ms(values_b).sum())
         t_ms = min(t_ms, time.perf_counter() - t0)
 
-    # scale rows (round-2 verdict item 1): never let them sink the headline
+    # scale rows (round-2 verdict item 1; round-3 item 1b adds the
+    # loop-closure/general-sparse row): never let them sink the headline
     try:
         scale_100k = bench_scale_100k()
     except Exception as e:  # pragma: no cover
         scale_100k = f"failed: {e!r}"
     try:
+        scale_lc = bench_scale_lc()
+    except Exception as e:  # pragma: no cover
+        scale_lc = f"failed: {e!r}"
+    try:
         scale_1m = bench_bcr_1m()
     except Exception as e:  # pragma: no cover
         scale_1m = f"failed: {e!r}"
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench"))
+        import config5_scale
+
+        scale_c5 = config5_scale.run(n_steps=100_000)
+    except Exception as e:  # pragma: no cover
+        scale_c5 = f"failed: {e!r}"
 
     iters = int(stats.iterations)
     evals_per_s = n_factors * max(iters, 1) * 2 / t_dev  # 2 linearize+error passes
     t_ref = cpu_ref["wall_s"] if cpu_ref else t_cpu
-    result = {
-        "metric": "plaza1_scale_lm_wallclock",
-        "value": round(t_dev, 4),
-        "unit": "s",
+    plaza1_row = {
+        "n_states": 9700,
+        "n_factors": n_factors,
+        "tpu_lm_s": round(t_dev, 4),
         "vs_baseline": round(t_ref / t_dev, 3),
+        "iterations": iters,
+        "chi2_init": float(stats.error0),
+        "chi2_final": float(stats.error),
+        "converged": bool(stats.converged),
+        "cpu_reference": (
+            {
+                "kind": "f64 scipy SuperLU sparse-direct LM, same problem"
+                        " + LM schedule (bench/cpu_reference.py)",
+                "wall_s": round(cpu_ref["wall_s"], 4),
+                "chi2_final": cpu_ref["chi2"],
+                "iterations": cpu_ref["iterations"],
+            }
+            if cpu_ref else "unavailable (fell back to jax-cpu)"
+        ),
+        "jax_cpu_same_code_s": round(t_cpu, 4),
+        "vs_jax_cpu": round(t_cpu / t_dev, 3),
+        "device_time_est_ms": round(max(t_dev * 1e3 - 22.0, 0.0), 1),
+        "factor_evals_per_s": int(evals_per_s),
+    }
+
+    # headline (VERDICT r3 item 7): the chip-decisive 100k-state row — the
+    # 9.7k Plaza1-scale solve sits on the ~22 ms tunnel-RTT floor, so its
+    # ratio reflects dispatch latency, not the chip. Same metric semantics
+    # (full-batch LM wall-clock vs the f64 SuperLU CPU reference, identical
+    # problem + LM schedule); the Plaza1-scale row rides in extra for
+    # cross-round continuity.
+    if isinstance(scale_100k, dict) and "vs_baseline" in scale_100k:
+        metric = "lm_wallclock_100k_states"
+        value = scale_100k["tpu_lm_s"]
+        vs_baseline = scale_100k["vs_baseline"]
+    else:  # fall back to the continuity row if the scale bench failed
+        metric = "plaza1_scale_lm_wallclock"
+        value = round(t_dev, 4)
+        vs_baseline = round(t_ref / t_dev, 3)
+    result = {
+        "metric": metric,
+        "value": value,
+        "unit": "s",
+        "vs_baseline": vs_baseline,
         "extra": {
             "backend": backend,
-            "n_states": 9700,
-            "n_factors": n_factors,
-            "iterations": iters,
-            "chi2_init": float(stats.error0),
-            "chi2_final": float(stats.error),
-            "converged": bool(stats.converged),
-            "cpu_reference": (
-                {
-                    "kind": "f64 scipy SuperLU sparse-direct LM, same problem"
-                            " + LM schedule (bench/cpu_reference.py)",
-                    "wall_s": round(cpu_ref["wall_s"], 4),
-                    "chi2_final": cpu_ref["chi2"],
-                    "iterations": cpu_ref["iterations"],
-                }
-                if cpu_ref else "unavailable (fell back to jax-cpu)"
-            ),
-            "jax_cpu_same_code_s": round(t_cpu, 4),
-            "vs_jax_cpu": round(t_cpu / t_dev, 3),
+            "plaza1_9700": plaza1_row,
             "chip_context": {"dispatch_rtt_ms": 22, "hbm_gbps": 242,
                              "f32_tflops": 24},
-            "device_time_est_ms": round(max(t_dev * 1e3 - 22.0, 0.0), 1),
-            "factor_evals_per_s": int(evals_per_s),
             "multiseed_solves": S,
             "multiseed_total_s": round(t_ms, 4),
             "per_solve_ms_amortized": round(1e3 * t_ms / S, 2),
             "scale_100k": scale_100k,
+            "scale_lc_10k": scale_lc,
             "scale_1m_bcr": scale_1m,
+            "scale_config5_100k_steps": scale_c5,
         },
     }
     print(json.dumps(result))

@@ -15,16 +15,22 @@ read at backend init (later), so setting it here is still effective.
 import os
 import sys
 
+# Opt-in DEVICE test tier: GPSLAM_DEVICE_TESTS=1 keeps the ambient (TPU)
+# backend so tests marked `device` can execute compiled Pallas kernels on
+# real hardware (§5.2 interpret-vs-compiled sanitizer). Default: CPU pin.
+_DEVICE_TESTS = os.environ.get("GPSLAM_DEVICE_TESTS", "") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 
 import jax  # noqa: E402  (after env setup on purpose)
 
-jax.config.update("jax_platforms", "cpu")
+if not _DEVICE_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite is compile-bound (many shape variants)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -69,7 +69,17 @@ class GraphBuilder:
         # numpy — eager device arrays would force a device fetch per
         # structural query (catastrophic through a remote-TPU tunnel) and a
         # per-shape transfer executable on some PJRT backends. jit uploads
-        # them with the other arguments when the solve runs.
+        # them with the other arguments when the solve runs. Builders are
+        # therefore host-only by contract: traced idx cannot drive symbolic
+        # analysis, so reject them here with a clear error rather than deep
+        # inside build()/merge.
+        if any(isinstance(i, jax.core.Tracer) for i in idx):
+            raise TypeError(
+                f"add_factors({name!r}): idx arrays must be concrete host "
+                f"integers (numpy), not jit tracers — graph construction is "
+                f"host-side symbolic work; build the graph outside jit and "
+                f"pass it in as an argument"
+            )
         idx = tuple(np.ascontiguousarray(np.asarray(i), np.int32)
                     for i in idx)
         sizes = {i.shape[0] for i in idx}

@@ -19,6 +19,8 @@ the TPU equivalent of GTSAM's gather into frontal matrices (ref S6/S9).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import warnings
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -108,7 +110,14 @@ def build_role_table(graph: Graph, state_group: str, lm_group: Optional[str]):
 # path) builds plans automatically.
 # ---------------------------------------------------------------------------
 
-_ONEHOT_MAX_L = 2048
+# one-hot landmark assembly is gated on the size of its densified
+# intermediates (M_eff * L * b * dl floats — the advisor-flagged worst case,
+# the H_sl outer-product densify), NOT on L alone: a small-L/huge-M batch can
+# blow HBM just as well as a large-L one. Beyond the budget the batch falls
+# back to the colliding scatter-add path — correct but slow (the measured
+# 44.6 ms/iter pathology at 100k states) — and says so via warnings.warn at
+# trace time so the regression is never silent.
+_ONEHOT_BYTES_MAX = 1 << 30
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,14 +127,58 @@ class SlotPlan:
     rows: int = 0
     pad_idx: Optional[np.ndarray] = None  # (rows, R) int32, value M = trash
 
+    @property
+    def eff_rows(self) -> int:
+        """Densified row count of this plan's intermediates (M for slice,
+        rows*R for gatherpad)."""
+        if self.mode == "gatherpad":
+            return int(self.pad_idx.shape[0] * self.pad_idx.shape[1])
+        return self.rows
+
 
 @dataclasses.dataclass(frozen=True)
 class ChainPlan:
-    """Role tables + per-(batch, state-slot) scatter plans."""
+    """Role tables + per-(batch, state-slot) scatter plans.
+
+    BOUND to the concrete index arrays it was built from: the slice starts,
+    gatherpad tables and super-diagonal roles bake those values in, so a
+    plan is only valid for graphs whose state-slot idx arrays are equal to
+    the build-time ones (idx_digest). assemble_chain verifies the digest
+    whenever the call-time idx arrays are concrete."""
 
     roles: list
     slot_plans: list  # per batch: {slot: SlotPlan} for state slots only
     use_onehot_lm: bool = True
+    idx_digest: Optional[tuple] = None  # per batch: {slot: blake2b digest}
+
+
+def _digest(idx: np.ndarray) -> bytes:
+    return hashlib.blake2b(
+        np.ascontiguousarray(np.asarray(idx, np.int64)).tobytes(),
+        digest_size=16,
+    ).digest()
+
+
+def _verify_plan_binding(plan: "ChainPlan", graph: Graph):
+    """Trace-time guard (ADVICE r3): a jitted solver carrying a ChainPlan is
+    value-correct only for the graph the plan was built from. When the
+    call-time idx arrays are concrete (the normal case — idx is host numpy),
+    check them against the build-time digests; traced idx (runtime index
+    data) cannot be checked and such callers should use plain role tables."""
+    if plan.idx_digest is None:
+        return
+    for bi, batch in enumerate(graph.batches):
+        for s, dig in plan.idx_digest[bi].items():
+            ix = batch.idx[s]
+            if isinstance(ix, jax.core.Tracer):
+                continue
+            if _digest(ix) != dig:
+                raise ValueError(
+                    f"chain plan mismatch: batch {batch.name!r} slot {s} has "
+                    f"different index values than the graph this solver was "
+                    f"built for — rebuild with make_chain_solver(graph) (the "
+                    f"plan bakes slice/gather tables for the build-time idx)"
+                )
 
 
 def _make_slot_plan(idx: np.ndarray) -> SlotPlan:
@@ -153,13 +206,18 @@ def build_chain_plan(graph: Graph, state_group: str,
     """Host-side: role tables + scatter-free assembly plans (concrete idx)."""
     roles = build_role_table(graph, state_group, lm_group)
     slot_plans = []
+    digests = []
     for b in graph.batches:
         plans = {}
+        digs = {}
         for s, g in enumerate(b.groups):
             if g == state_group:
                 plans[s] = _make_slot_plan(np.asarray(b.idx[s]))
+                digs[s] = _digest(b.idx[s])
         slot_plans.append(plans)
-    return ChainPlan(roles=roles, slot_plans=slot_plans)
+        digests.append(digs)
+    return ChainPlan(roles=roles, slot_plans=slot_plans,
+                     idx_digest=tuple(digests))
 
 
 def _padded_rows(contrib, rows_total, start):
@@ -197,6 +255,8 @@ def assemble_chain(graph: Graph, lins, values, roles, state_group: str,
     for runtime index arrays) or a ChainPlan (scatter-free fast path bound to
     the concrete indices it was built from)."""
     plan = roles if isinstance(roles, ChainPlan) else None
+    if plan is not None:
+        _verify_plan_binding(plan, graph)
     role_tables = plan.roles if plan is not None else roles
     man = graph.manifolds[state_group]
     b_dim = man.dim
@@ -218,14 +278,38 @@ def assemble_chain(graph: Graph, lins, values, roles, state_group: str,
     else:
         H_sl = H_ll = g_l = None
 
-    use_onehot = (
-        plan is not None and plan.use_onehot_lm and lm_group is not None
-        and L <= _ONEHOT_MAX_L
-    )
+    itemsize = jnp.dtype(dtype).itemsize
+
+    def onehot_ok(batch, sp):
+        """Per-batch one-hot gate: densified intermediates within budget?
+        Worst intermediate is the H_sl outer-product densify, (M_eff, b, L,
+        dl) floats; M_eff accounts for gatherpad row expansion."""
+        if plan is None or not plan.use_onehot_lm or lm_group is None:
+            return False
+        if lm_group not in batch.groups:
+            return False  # no landmark slots: gate (and warning) irrelevant
+        m_eff = batch.idx[0].shape[0]
+        if sp:
+            m_eff = max([batch.idx[0].shape[0]]
+                        + [p.eff_rows for p in sp.values()
+                           if p.mode == "gatherpad"])
+        width = max(b_dim * dl, 1)
+        if m_eff * L * width * itemsize > _ONEHOT_BYTES_MAX:
+            warnings.warn(
+                f"chain assembly: batch {batch.name!r} exceeds the one-hot "
+                f"landmark budget ({m_eff} factors x {L} landmarks); falling "
+                f"back to colliding scatter-add landmark assembly — expect "
+                f"slow iterations (consider the supernodal backend for "
+                f"landmark-rich graphs at this scale)",
+                stacklevel=2,
+            )
+            return False
+        return True
 
     for bi, (batch, lin, table) in enumerate(zip(graph.batches, lins,
                                                  role_tables)):
         sp = plan.slot_plans[bi] if plan is not None else None
+        use_onehot = onehot_ok(batch, sp)
         onehots: Dict[int, jnp.ndarray] = {}
 
         def onehot(t, batch=batch, onehots=onehots):
@@ -279,10 +363,25 @@ def assemble_chain(graph: Graph, lins, values, roles, state_group: str,
                         H_sl = H_sl.at[batch.idx[s], :, batch.idx[t], :].add(blk)
                 elif role == _LL:
                     if use_onehot:
-                        H_ll = H_ll + jnp.einsum(
-                            "mp,mij,mq->piqj", onehot(s), blk, onehot(t),
-                            precision="highest",
-                        )
+                        # lowered as dl^2 rank-contracted matmuls: the naive
+                        # 'mp,mij,mq->piqj' einsum cannot contract m until
+                        # two operands combine, so XLA materializes an
+                        # O(M*L*dl^2) intermediate (ADVICE r3); the
+                        # (W .* blk_ij)^T @ W form keeps the intermediate at
+                        # O(M*L) and runs on the MXU.
+                        Ws, Wt = onehot(s), onehot(t)
+                        rows_ll = []
+                        for ii in range(dl):
+                            rows_ll.append(jnp.stack([
+                                jnp.einsum(
+                                    "mp,mq->pq",
+                                    Ws * blk[:, ii, jj][:, None], Wt,
+                                    precision="highest",
+                                )
+                                for jj in range(dl)
+                            ]))
+                        Hb = jnp.stack(rows_ll)  # (dl_i, dl_j, L, L)
+                        H_ll = H_ll + Hb.transpose(2, 0, 3, 1)
                     else:
                         H_ll = H_ll.at[batch.idx[s], :, batch.idx[t], :].add(blk)
 
@@ -302,6 +401,14 @@ def make_chain_solver(graph: Graph, state_group: str = "state",
 
     Returned callable matches the lm_solve solver interface:
     solver(graph, values, lins, lam) -> {group: (N_g, dim_g) delta}.
+
+    The solver is BOUND to this graph's concrete index arrays: the
+    scatter-free assembly plan bakes slice starts and gather tables for the
+    build-time idx values, so calling it with a same-shape graph holding
+    DIFFERENT indices is invalid (different landmark observation patterns,
+    reordered factors). The binding is enforced: assembly verifies an idx
+    digest at trace time and raises on mismatch (runtime-traced idx arrays
+    skip the check — such callers should pass plain role tables instead).
 
     use_pallas routes the BCR through the fused plane-major Pallas level
     kernels (ops/pallas_bcr.py; f32, b <= 8, big chains only — measured

