@@ -25,9 +25,10 @@ perturbed seeds, the calibrated chip context (22 ms dispatch RTT floor,
 
   scale_100k    the headline row's full detail (both CPU denominators).
   scale_lc_10k  10k-state SE(2) LOOP-CLOSURE graph (general-sparse path):
-                supernodal LM in pallas (gather-GEMM kernels) AND stream
-                modes, factorization GFLOP/s, pallas-vs-stream ratio,
-                chi^2 parity, vs the SuperLU loop-closure reference.
+                supernodal LM in pallas_stream (gather-GEMM kernels over
+                the chunked instruction stream) AND stream modes,
+                factorization GFLOP/s, pallas-vs-stream ratio, chi^2
+                parity, vs the SuperLU loop-closure reference.
   scale_1m_bcr  1M-state block-tridiagonal solve (BASELINE config-5 scale,
                 single chip): fused plane-major Pallas BCR vs the XLA path
                 vs the host CPU, with achieved bandwidth vs the 242 GB/s
@@ -156,9 +157,12 @@ def bench_scale_lc(n_states=10_000):
     solver; it exercises the supernodal path (nd ordering, w_max=8
     amalgamated panels, dense top-of-tree). Times the full LM AND the
     numeric factorization alone in BOTH large-graph modes:
-      pallas  per-level gather-GEMM kernels (ops/pallas_supernodal.py) —
-              what auto_solver dispatches on TPU/f32
-      stream  chunked XLA instruction stream (the measured fallback)
+      pallas_stream  the chunked instruction stream with gather-GEMM pallas
+                     step kernels (ops/pallas_supernodal.py) — what
+                     auto_solver dispatches on TPU/f32; compile O(1) in
+                     levels (the fully-unrolled "pallas" mode measured 40+
+                     min of compile at this scale and is not benched)
+      stream         the same stream with XLA step bodies (the fallback)
     against the f64 SuperLU CPU reference on the same graph
     (bench/run_cpu_reference_lc.py). Reports ms, factorization GFLOP/s and
     the pallas-vs-stream device ratio; asserts chi^2 parity between modes.
@@ -188,8 +192,8 @@ def bench_scale_lc(n_states=10_000):
     cfg = LMConfig(max_iterations=30)
     lins = graphlib.linearize(graph, values)
     chi2 = {}
-    for mode in ("pallas", "stream"):
-        if mode == "pallas" and jax.default_backend() == "cpu":
+    for mode in ("pallas_stream", "stream"):
+        if mode == "pallas_stream" and jax.default_backend() == "cpu":
             continue  # interpret-mode timing is meaningless
         sn = AmalgamatedSupernodalSolver(
             graph, values, ordering="nd", w_max=8, mode=mode, dense_tail=64
@@ -240,22 +244,22 @@ def bench_scale_lc(n_states=10_000):
             "factorize_gflops": round(flops / t_fact / 1e9, 1),
             "levels": len(sn.levels),
         }
-    if "pallas" in row and "stream" in row:
+    if "pallas_stream" in row and "stream" in row:
         row["pallas_vs_stream_lm"] = round(
-            row["stream"]["lm_wall_s"] / row["pallas"]["lm_wall_s"], 2)
+            row["stream"]["lm_wall_s"] / row["pallas_stream"]["lm_wall_s"], 2)
         row["pallas_vs_stream_factorize"] = round(
             row["stream"]["factorize_ms_amortized"]
-            / row["pallas"]["factorize_ms_amortized"], 2)
+            / row["pallas_stream"]["factorize_ms_amortized"], 2)
         # §5.2 sanitizer: the compiled pallas kernels must agree with the
         # stream path on the full nonlinear solve
-        rel = abs(chi2["pallas"] - chi2["stream"]) / max(chi2["stream"], 1.0)
+        rel = abs(chi2["pallas_stream"] - chi2["stream"]) / max(chi2["stream"], 1.0)
         row["chi2_rel_diff_pallas_vs_stream"] = float(f"{rel:.2e}")
         row["parity_ok"] = bool(rel < 1e-3)
     cpu_ref = _run_subprocess_json("run_cpu_reference_lc.py", n_states, 600)
     if cpu_ref:
         row["cpu_superlu_s"] = round(cpu_ref["wall_s"], 3)
         row["cpu_superlu_chi2"] = cpu_ref["chi2"]
-        dev = row.get("pallas") or row.get("stream")
+        dev = row.get("pallas_stream") or row.get("stream")
         if dev:
             row["vs_baseline"] = round(cpu_ref["wall_s"] / dev["lm_wall_s"], 2)
     return row

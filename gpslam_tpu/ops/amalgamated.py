@@ -207,8 +207,14 @@ class AmalgamatedSupernodalSolver(SupernodalSolver):
 
     # ------------------------------------------------------------ numeric
     def assemble_raw(self, graph, lins, values, assembly=None):
-        """Variable-block assembly + scatter-copy into supernode panels."""
-        del assembly
+        """Variable-block assembly + scatter-copy into supernode panels.
+
+        `assembly` overrides the variable-block destination tables (the
+        sharded P2/P3 solvers pass per-device slices of the same tables;
+        the panel copy is linear, so per-device partial panels psum to the
+        full assembly)."""
+        if assembly is None:
+            assembly = self._var_assembly
         dtype = jax.tree_util.tree_leaves(values)[0].dtype
         b = self.b_var
         vb = jnp.zeros((self.n_var_blocks, b, b), dtype)
@@ -219,8 +225,7 @@ class AmalgamatedSupernodalSolver(SupernodalSolver):
             d = J.shape[-1]
             return J if d == b else jnp.pad(J, ((0, 0), (0, 0), (0, b - d)))
 
-        for batch, lin, pairs in zip(graph.batches, lins,
-                                     self._var_assembly):
+        for batch, lin, pairs in zip(graph.batches, lins, assembly):
             for sslot in range(len(batch.groups)):
                 Js = pad_last(lin.J[sslot])
                 contrib = jnp.einsum("mri,mr->mi", Js, lin.r)

@@ -143,6 +143,153 @@ def _backsub_kernel(b, k, l_ref, ueo_ref, uoe_ref, r_ref, xe_ref, xn_ref,
             xo_ref[i * k + c] = x[i]
 
 
+# --------------------------------------------------------------------------
+# v3: split-kernel level pipeline for LARGE blocks (12 < b <= 24 — the WNOJ
+# SE(3) b=18 jerk-model state). The monolithic v1/v2 reduce kernels hold
+# every input AND output plane in VMEM at once: at b=18 that is (990 in +
+# 1332 out) rows x (8, 128) f32 x double-buffering ~= 19 MB > 16 MB VMEM.
+# The v3 pipeline factors the level through the panel inverse Linv = L^{-1}
+# and splits the work into six kernels, each VMEM-sized:
+#
+#   A: D_odd -> Linv            (Cholesky + lower-triangular inverse)
+#   B: C1 = U_eo Linv^T         (half-triangular contraction)
+#   C: C2 = Linv U_oe
+#   D1: P1 = C1 C1^T, P2 = C1 C2, q1 = C1 (Linv r)
+#   D2: P3 = C2^T C2, q2 = C2^T (Linv r)
+#   E (backsub): x_odd = Linv^T Linv (r - U_eo^T x_ev - U_oe x_next)
+#
+# identical math to v1 (P1 = U_eo D^-1 U_eo^T etc. — Dinv = Linv^T Linv);
+# the shifted subtractions stay in XLA (v1-style, fused elementwise). Each
+# kernel unrolls <= ~9k VPU plane ops, which Mosaic compiles in reasonable
+# time; the per-level cost is 6 pallas calls instead of 2, still one HBM
+# round-trip per array vs the XLA path's per-intermediate materialization.
+# --------------------------------------------------------------------------
+
+
+def _linv_rows(b, L):
+    """Lower-triangular inverse from _chol_rows output (list-of-lists)."""
+    Li = [[None] * b for _ in range(b)]
+    for j in range(b):
+        Li[j][j] = 1.0 / L[j][j]
+        for i in range(j + 1, b):
+            s = L[i][j] * Li[j][j]
+            for t in range(j + 1, i):
+                s = s + L[i][t] * Li[t][j]
+            Li[i][j] = -s / L[i][i]
+    return Li
+
+
+def _chol_inv_kernel(b, k, d_ref, linv_ref):
+    d = [d_ref[i] for i in range(b * b)]
+    L = _chol_rows(b, d)
+    Li = _linv_rows(b, L)
+    zero = jnp.zeros_like(d[0])
+    for i in range(b):
+        for j in range(b):
+            linv_ref[i * b + j] = Li[i][j] if i >= j else zero
+
+
+def _c1_kernel(b, k, ueo_ref, linv_ref, c1_ref):
+    """C1 = U_eo Linv^T:  C1[i,j] = sum_{t<=j} U_eo[i,t] Linv[j,t]."""
+    for i in range(b):
+        for j in range(b):
+            s = ueo_ref[i * b + 0] * linv_ref[j * b + 0]
+            for t in range(1, j + 1):
+                s = s + ueo_ref[i * b + t] * linv_ref[j * b + t]
+            c1_ref[i * b + j] = s
+
+
+def _c2_kernel(b, k, linv_ref, uoe_ref, c2_ref):
+    """C2 = Linv U_oe:  C2[i,j] = sum_{t<=i} Linv[i,t] U_oe[t,j]."""
+    for i in range(b):
+        for j in range(b):
+            s = linv_ref[i * b + 0] * uoe_ref[0 * b + j]
+            for t in range(1, i + 1):
+                s = s + linv_ref[i * b + t] * uoe_ref[t * b + j]
+            c2_ref[i * b + j] = s
+
+
+def _z0_rows(b, k, linv_ref, r_ref):
+    """z0 = Linv r (per rhs column)."""
+    z0 = [[None] * b for _ in range(k)]
+    for c in range(k):
+        for i in range(b):
+            s = linv_ref[i * b + 0] * r_ref[0 * k + c]
+            for t in range(1, i + 1):
+                s = s + linv_ref[i * b + t] * r_ref[t * k + c]
+            z0[c][i] = s
+    return z0
+
+
+def _d1_kernel(b, k, c1_ref, c2_ref, linv_ref, r_ref,
+               p1_ref, p2_ref, q1_ref):
+    """P1 = C1 C1^T (symmetric), P2 = C1 C2, q1 = C1 z0."""
+    for i in range(b):
+        for j in range(i + 1):
+            s = c1_ref[i * b + 0] * c1_ref[j * b + 0]
+            for t in range(1, b):
+                s = s + c1_ref[i * b + t] * c1_ref[j * b + t]
+            p1_ref[i * b + j] = s
+            if i != j:
+                p1_ref[j * b + i] = s
+    for i in range(b):
+        for j in range(b):
+            s = c1_ref[i * b + 0] * c2_ref[0 * b + j]
+            for t in range(1, b):
+                s = s + c1_ref[i * b + t] * c2_ref[t * b + j]
+            p2_ref[i * b + j] = s
+    z0 = _z0_rows(b, k, linv_ref, r_ref)
+    for i in range(b):
+        for c in range(k):
+            s = c1_ref[i * b + 0] * z0[c][0]
+            for t in range(1, b):
+                s = s + c1_ref[i * b + t] * z0[c][t]
+            q1_ref[i * k + c] = s
+
+
+def _d2_kernel(b, k, c2_ref, linv_ref, r_ref, p3_ref, q2_ref):
+    """P3 = C2^T C2 (symmetric), q2 = C2^T z0."""
+    for i in range(b):
+        for j in range(i + 1):
+            s = c2_ref[0 * b + i] * c2_ref[0 * b + j]
+            for t in range(1, b):
+                s = s + c2_ref[t * b + i] * c2_ref[t * b + j]
+            p3_ref[i * b + j] = s
+            if i != j:
+                p3_ref[j * b + i] = s
+    z0 = _z0_rows(b, k, linv_ref, r_ref)
+    for i in range(b):
+        for c in range(k):
+            s = c2_ref[0 * b + i] * z0[c][0]
+            for t in range(1, b):
+                s = s + c2_ref[t * b + i] * z0[c][t]
+            q2_ref[i * k + c] = s
+
+
+def _backsub_v3_kernel(b, k, linv_ref, ueo_ref, uoe_ref, r_ref, xe_ref,
+                       xn_ref, xo_ref):
+    """x_odd = Linv^T Linv (r - U_eo^T x_ev - U_oe x_next)."""
+    for c in range(k):
+        rhs = []
+        for i in range(b):
+            s = r_ref[i * k + c]
+            for t in range(b):
+                s = s - ueo_ref[t * b + i] * xe_ref[t * k + c]
+                s = s - uoe_ref[i * b + t] * xn_ref[t * k + c]
+            rhs.append(s)
+        z = [None] * b
+        for i in range(b):
+            s = linv_ref[i * b + 0] * rhs[0]
+            for t in range(1, i + 1):
+                s = s + linv_ref[i * b + t] * rhs[t]
+            z[i] = s
+        for i in range(b):
+            s = linv_ref[i * b + i] * z[i]
+            for t in range(i + 1, b):
+                s = s + linv_ref[t * b + i] * z[t]
+            xo_ref[i * k + c] = s
+
+
 def _row_ids(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
@@ -369,12 +516,14 @@ def bcr_solve_fused(D, U, r, min_pallas_n: int = 8192, tile_m: int = 16,
     smaller levels (and the recursion base) use the XLA unrolled path.
     min_pallas_n must be >= 64*tile_m so plane shapes stay tile-aligned.
 
-    Supports b <= 12 — covering SE(3) pose+twist chain states (b = 12, the
-    3D workloads of BASELINE configs 4/5). b in (8, 12] drops to tile_m=8
-    (the f32 sublane minimum): the plane working set is b*b rows per array
-    and VMEM double-buffering overflows at tile_m=16. WNOJ b = 18 stays on
-    the XLA path (3x the plane rows and ~b^3 unrolled VPU ops exceed both
-    VMEM and sane Mosaic compile times; revisit as an MXU-tile kernel).
+    Supports b <= 12 via the fused v1/v2 kernels — covering SE(3) pose+twist
+    chain states (b = 12, the 3D workloads of BASELINE configs 4/5). b in
+    (8, 12] drops to tile_m=8 (the f32 sublane minimum): the plane working
+    set is b*b rows per array and VMEM double-buffering overflows at
+    tile_m=16. b in (12, 24] — the WNOJ SE(3) b=18 jerk-model state — routes
+    to the SPLIT-kernel v3 pipeline (six VMEM-sized kernels per level
+    through the panel inverse; see the v3 block comment), gated on the
+    per-kernel VMEM estimate; beyond that the XLA path takes over.
 
     version=2 (default) folds the neighbor-shifted subtractions into the
     kernels via sequential-grid SMEM carries (one kernel per level each
@@ -385,8 +534,16 @@ def bcr_solve_fused(D, U, r, min_pallas_n: int = 8192, tile_m: int = 16,
     N, b, _ = D.shape
     k = r.shape[-1]
     dtype = D.dtype
-    if N < 2 * min_pallas_n or dtype != jnp.float32 or b > 12:
+    if N < 2 * min_pallas_n or dtype != jnp.float32 or b > 24:
         return tridiag.bcr_solve(D, U, r)
+    if 12 < b <= 24:
+        # v3 VMEM estimate (worst kernel D1: C1+C2+Linv+r in, P1+P2+q1 out,
+        # double-buffered) — fall back to XLA when the rhs panel k pushes it
+        # over the ~16 MB budget
+        rows_d1 = 3 * b * b + b * k + 2 * b * b + b * k
+        if rows_d1 * 8 * LANE * 4 * 2 > 15 * 2**20:
+            return tridiag.bcr_solve(D, U, r)
+        version = 3
     if b > 8:
         tile_m = min(tile_m, 8)
 
@@ -425,6 +582,29 @@ def _bcr_planes(Dp, Up, rp, b, k, min_n, tile_m, interpret, version):
     D_ev, D_od = _deinterleave(Dp)
     U_eo, U_oe = _deinterleave(Up)
     r_ev, r_od = _deinterleave(rp)
+
+    if version == 3:
+        Linv = _call_level(_chol_inv_kernel, b, k, [D_od], [bb],
+                           tile_m, interpret)[0]
+        C1 = _call_level(_c1_kernel, b, k, [U_eo, Linv], [bb],
+                         tile_m, interpret)[0]
+        C2 = _call_level(_c2_kernel, b, k, [Linv, U_oe], [bb],
+                         tile_m, interpret)[0]
+        P1, P2, q1 = _call_level(_d1_kernel, b, k, [C1, C2, Linv, r_od],
+                                 [bb, bb, bk], tile_m, interpret)
+        P3, q2 = _call_level(_d2_kernel, b, k, [C2, Linv, r_od],
+                             [bb, bk], tile_m, interpret)
+        D_red = D_ev - P1 - _shift_right(P3)
+        U_red = -P2
+        r_red = r_ev - q1 - _shift_right(q2)
+        x_ev = _bcr_planes(D_red, U_red, r_red, b, k, min_n, tile_m,
+                           interpret, version)
+        x_nx = _shift_left(x_ev)
+        (x_od,) = _call_level(
+            _backsub_v3_kernel, b, k, [Linv, U_eo, U_oe, r_od, x_ev, x_nx],
+            [bk], tile_m, interpret,
+        )
+        return _interleave(x_ev, x_od)
 
     if version >= 2:
         L, D_red, U_red, r_red = _call_level(

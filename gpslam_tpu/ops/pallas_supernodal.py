@@ -61,18 +61,20 @@ def bucket(n: int) -> int:
 def _gemm_call(NB, ND, B, K, T, op, combine, interpret):
     """One gather-GEMM pallas_call over T index triples.
 
-    out[d[i]] (-= | =) contract(A[a[i]], Bb[b[i]]) per _DIMS[op].
+    out[d[i]] (-= | += | =) contract(A[a[i]], Bb[b[i]]) per _DIMS[op].
     A is (NA, B, B); Bb and the aliased destination array are (ND, B, K)
     for 'mm'/'mm_t' (K = rhs panel width) or (ND, B, B) for 'mm_bt'.
-    combine 'acc_sub' needs d sorted (equal-dst runs accumulate in VMEM and
-    flush once); 'set' needs unique real dsts.
+    combine 'acc_sub'/'acc_add' need d sorted (equal-dst runs accumulate in
+    VMEM and flush once); 'set' needs unique real dsts. 'acc_add' is the
+    sharded-stream variant: partial frontal deltas ACCUMULATE (the psum
+    subtracts them later), vs the single-device left-looking 'acc_sub'.
     """
     dims = _DIMS[op]
     rblk = (1, B, B) if op == "mm_bt" else (1, B, K)
 
     def kernel(a_idx, b_idx, d_idx, a_ref, b_ref, dstin_ref, o_ref, acc_ref):
         i = pl.program_id(0)
-        if combine == "acc_sub":
+        if combine in ("acc_sub", "acc_add"):
             @pl.when(jnp.logical_or(
                 i == 0, d_idx[i] != d_idx[jnp.maximum(i - 1, 0)]))
             def _():
@@ -84,6 +86,9 @@ def _gemm_call(NB, ND, B, K, T, op, combine, interpret):
         )
         if combine == "acc_sub":
             acc_ref[...] -= u
+            o_ref[0] = acc_ref[...]
+        elif combine == "acc_add":
+            acc_ref[...] += u
             o_ref[0] = acc_ref[...]
         else:
             o_ref[0] = u
@@ -108,11 +113,14 @@ def _gemm_call(NB, ND, B, K, T, op, combine, interpret):
 
 def gather_gemm(A, b_arr, dst_arr, a_idx, b_idx, d_idx, *, op: str,
                 combine: str, interpret: bool = False):
-    """dst_arr[d_idx[i]] (-= | =) contract(A[a_idx[i]], b_arr[b_idx[i]]).
+    """dst_arr[d_idx[i]] (-= | += | =) contract(A[a_idx[i]], b_arr[b_idx[i]]).
 
-    Index arrays are HOST numpy (static schedules), already padded to a
-    bucket size with trash rows; d_idx must be sorted for 'acc_sub'.
-    Returns the updated dst_arr (input/output aliased)."""
+    Index arrays are host numpy (static schedules) OR runtime device arrays
+    (device-indexed sharded schedules — scalar-prefetch operands are regular
+    pallas_call arguments, fetched before the grid launches), already padded
+    to a static length with trash rows; d_idx must be sorted for
+    'acc_sub'/'acc_add'. Returns the updated dst_arr (input/output
+    aliased)."""
     K = b_arr.shape[-1]
     call = _gemm_call(b_arr.shape[0], dst_arr.shape[0], A.shape[-1], K,
                       len(d_idx), op, combine, interpret)

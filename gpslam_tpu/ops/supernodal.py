@@ -233,15 +233,15 @@ class SupernodalSolver:
     def _set_mode(self, mode: str):
         if mode == "auto":
             mode = "stream" if len(self.levels) > _STREAM_LEVELS else "unrolled"
-        if mode not in ("unrolled", "stream", "pallas"):
+        if mode not in ("unrolled", "stream", "pallas", "pallas_stream"):
             raise ValueError(f"unknown schedule mode {mode!r}")
-        if mode == "pallas" and self.b % 8 != 0:
+        if mode in ("pallas", "pallas_stream") and self.b % 8 != 0:
             raise ValueError(
                 f"pallas mode needs a block dim divisible by 8 (sublane "
                 f"tiling); got b={self.b} — use amalgamated panels"
             )
         self._mode = mode
-        self._stream = None  # built lazily on first factorize
+        self._stream = {}  # built lazily on first factorize, keyed by pallas
         self._pallas_sched = None
 
     def _build_numeric_schedules(self, struct, parent):
@@ -468,7 +468,7 @@ class SupernodalSolver:
         return self.add_damping(blocks, lam), g
 
     # --------------------------------------------------- stream scheduling
-    def _get_stream(self):
+    def _get_stream(self, pallas: bool = False):
         """Build (once) the chunked device-side instruction streams.
 
         Factorization stream opcodes: 0/1 UPD big/small, 2/3 CHOL, 4/5 TRSM.
@@ -477,9 +477,14 @@ class SupernodalSolver:
         T (identity 'trash', id n_blocks+1) and rhs row TY (id n), so padded
         lanes compute exact no-ops: T -= Z@Z^T keeps T = I, chol(I) = I,
         trsm(I, I) = I, y[TY] -= Z@y[TY] keeps y[TY] = 0.
+
+        pallas=True builds the gather-GEMM variant of the same streams
+        (mode="pallas_stream"): TRSM second operands and DIAG first operands
+        index the Linv panel-inverse table (n+1 rows, identity trash at n)
+        instead of the block storage, so those pads remap T -> TY.
         """
-        if self._stream is not None:
-            return self._stream
+        if pallas in self._stream:
+            return self._stream[pallas]
         Z, T, TY = self.n_blocks, self.n_blocks + 1, self.n
         L = len(self.levels)
 
@@ -513,15 +518,16 @@ class SupernodalSolver:
         fact_br, (upd_lv, chol_lv, trsm_lv) = _build_branched([
             ("upd", upd_rows, (T, Z, Z)),
             ("chol", chol_rows, (T,)),
-            ("trsm", trsm_rows, (T, T)),
+            ("trsm", trsm_rows, (T, TY if pallas else T)),
         ])
+        diag_pad = (TY if pallas else T, TY)
         fwd_br, (fg_lv, fdg_lv) = _build_branched([
             ("gemv", fwd_rows, (TY, Z, TY)),
-            ("diag", diag_rows, (T, TY)),
+            ("diag", diag_rows, diag_pad),
         ])
         bwd_br, (bg_lv, bdg_lv) = _build_branched([
             ("gemv", bwd_rows, (TY, Z, TY)),
-            ("diag", diag_rows, (T, TY)),
+            ("diag", diag_rows, diag_pad),
         ])
 
         def seq(level_order, phase_lists):
@@ -533,12 +539,12 @@ class SupernodalSolver:
                         args.append(ci)
             return ops, args
 
-        self._stream = (
+        self._stream[pallas] = (
             _Stream(*seq(range(L), [upd_lv, chol_lv, trsm_lv]), fact_br),
             _Stream(*seq(range(L), [fg_lv, fdg_lv]), fwd_br),
             _Stream(*seq(reversed(range(L)), [bg_lv, bdg_lv]), bwd_br),
         )
-        return self._stream
+        return self._stream[pallas]
 
     def _factorize_stream(self, blocks):
         fact, _, _ = self._get_stream()
@@ -634,6 +640,127 @@ class SupernodalSolver:
         y = run(bwd, {"gemv": gemv("mji,mj->mi"),
                       "diag": diag(sb.solve_upper_from_lower)})
         return y[:-1]
+
+    # -------------------------------------- pallas_stream gather-GEMM mode
+    def _factorize_pallas_stream(self, blocks):
+        """The chunked instruction stream (compile O(1) in levels) with its
+        UPD/TRSM steps executed as gather-GEMM pallas kernels — the fusion
+        of mode="stream"'s compile behavior with mode="pallas"'s per-chunk
+        latency (one kernel instead of an XLA gather->matmul->scatter
+        chain per chunk; the chunk index slices ride as runtime
+        scalar-prefetch operands). CHOL steps stay XLA and maintain the Linv
+        panel-inverse table the TRSM/DIAG kernels contract against.
+        Returns (ext blocks incl. pad slots, Linv)."""
+        from . import pallas_supernodal as psn
+
+        if blocks.dtype != jnp.float32:
+            raise ValueError("pallas_stream mode is f32-only")
+        fact, _, _ = self._get_stream(pallas=True)
+        b, n = self.b, self.n
+        interp = jax.default_backend() != "tpu"
+        eye = jnp.eye(b, dtype=jnp.float32)
+        pad = jnp.stack([jnp.zeros((b, b), jnp.float32), eye])
+        ext = jnp.concatenate([blocks, pad], 0)
+        Linv = jnp.concatenate(
+            [jnp.zeros((n, b, b), jnp.float32), eye[None]], 0
+        )
+        if fact.n_steps == 0:  # fully-dense tail
+            return ext, Linv
+
+        def upd(sched):
+            def f(carry, ai):
+                ext, Linv = carry
+                dst, s1, s2 = sched[ai]
+                ext = psn.gather_gemm(ext, ext, ext, s1, s2, dst,
+                                      op="mm_bt", combine="acc_sub",
+                                      interpret=interp)
+                return (ext, Linv)
+            return f
+
+        def chol(sched):
+            def f(carry, ai):
+                ext, Linv = carry
+                cols = sched[ai][0]
+                Ld = sb.cholesky(ext[cols])
+                ext = ext.at[cols].set(Ld, indices_are_sorted=True)
+                Li = sb.solve_lower(Ld, jnp.broadcast_to(eye, Ld.shape))
+                # pad cols (= T > n) land on the Linv identity trash row n:
+                # chol(I)=I, I^{-1}=I — an exact no-op write
+                Linv = Linv.at[jnp.minimum(cols, n)].set(
+                    Li, indices_are_sorted=True)
+                return (ext, Linv)
+            return f
+
+        def trsm(sched):
+            def f(carry, ai):
+                ext, Linv = carry
+                offs, od = sched[ai]
+                ext = psn.gather_gemm(ext, Linv, ext, offs, od, offs,
+                                      op="mm_bt", combine="set",
+                                      interpret=interp)
+                return (ext, Linv)
+            return f
+
+        mk = {"upd": upd, "chol": chol, "trsm": trsm}
+        branches = [mk[kind](jnp.asarray(arr)) for kind, arr in fact.branches]
+        opcodes = jnp.asarray(fact.opcodes)
+        arg_idx = jnp.asarray(fact.arg_idx)
+
+        def body(i, carry):
+            return jax.lax.switch(opcodes[i], branches, carry, arg_idx[i])
+
+        return jax.lax.fori_loop(0, fact.n_steps, body, (ext, Linv))
+
+    def _solve_pallas_stream(self, factor, rhs, L_tail=None):
+        """Streamed solves as gather-GEMM kernels; rhs rides as (n+1, b, 8)
+        thin panels (column 0 real, row n trash) like _solve_pallas."""
+        from . import pallas_supernodal as psn
+
+        ext, Linv = factor
+        _, fwd, bwd = self._get_stream(pallas=True)
+        interp = jax.default_backend() != "tpu"
+        n, b = self.n, self.b
+        y = jnp.zeros((n + 1, b, 8), jnp.float32)
+        y = y.at[:n, :, 0].set(rhs)
+
+        def gemv(op):
+            def outer(sched):
+                def f(y, ai):
+                    dst, sblk, scol = sched[ai]
+                    return psn.gather_gemm(ext, y, y, sblk, scol, dst,
+                                           op=op, combine="acc_sub",
+                                           interpret=interp)
+                return f
+            return outer
+
+        def diag(op):
+            def outer(sched):
+                def f(y, ai):
+                    cb, cy = sched[ai]
+                    return psn.gather_gemm(Linv, y, y, cb, cy, cy,
+                                           op=op, combine="set",
+                                           interpret=interp)
+                return f
+            return outer
+
+        def run(stream, mk):
+            if stream.n_steps == 0:
+                return y
+            branches = [mk[kind](jnp.asarray(arr))
+                        for kind, arr in stream.branches]
+            opcodes = jnp.asarray(stream.opcodes)
+            arg_idx = jnp.asarray(stream.arg_idx)
+
+            def body(i, y):
+                return jax.lax.switch(opcodes[i], branches, y, arg_idx[i])
+
+            return jax.lax.fori_loop(0, stream.n_steps, body, y)
+
+        y = run(fwd, {"gemv": gemv("mm"), "diag": diag("mm")})
+        if L_tail is not None:
+            y = y.at[:, :, 0].set(self._tail_solve(y[:, :, 0], L_tail))
+        y = run(bwd, {"gemv": gemv("mm_t"), "diag": diag("mm_t")})
+        return y[:n, :, 0]
 
     # ------------------------------------------- pallas gather-GEMM mode
     def _get_pallas_sched(self):
@@ -789,12 +916,15 @@ class SupernodalSolver:
         dense tail, returns (factor, L_tail)."""
         if self._mode == "pallas":
             blocks = self._factorize_pallas(blocks)
+        elif self._mode == "pallas_stream":
+            blocks = self._factorize_pallas_stream(blocks)
         elif self._mode == "stream":
             blocks = self._factorize_stream(blocks)
         else:
             blocks = self._factorize_unrolled(blocks)
         if self.n_tail:
-            tail_src = blocks[0] if self._mode == "pallas" else blocks
+            tail_src = (blocks[0] if self._mode in ("pallas", "pallas_stream")
+                        else blocks)
             return blocks, self._tail_dense_factor(tail_src)
         return blocks
 
@@ -805,6 +935,8 @@ class SupernodalSolver:
             blocks, L_tail = blocks
         if self._mode == "pallas":
             return self._solve_pallas(blocks, rhs, L_tail)
+        if self._mode == "pallas_stream":
+            return self._solve_pallas_stream(blocks, rhs, L_tail)
         if self._mode == "stream":
             return self._solve_stream(blocks, rhs, L_tail)
         return self._solve_unrolled(blocks, rhs, L_tail)

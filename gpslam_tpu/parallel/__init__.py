@@ -9,6 +9,7 @@ from .subtree_shard import (  # noqa: F401
     lm_solve_subtree_sharded,
 )
 from .supernodal_shard import (  # noqa: F401
+    ShardedAmalgamatedSupernodalSolver,
     ShardedSupernodalSolver,
     lm_solve_supernodal_sharded,
 )

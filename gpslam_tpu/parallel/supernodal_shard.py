@@ -51,6 +51,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import LMConfig
 from ..graph import graph as graphlib
 from ..ops import smallblock as sb
+from ..ops.amalgamated import AmalgamatedSupernodalSolver
 from ..ops.supernodal import SupernodalSolver, _Stream, _collapse_sorted
 from .mesh import make_mesh
 from .solve import _stats_struct, pad_graph
@@ -64,10 +65,28 @@ class ShardedSupernodalSolver(SupernodalSolver):
     `axis_name` with the graph's factor tables sharded along that axis.
     """
 
-    def __init__(self, graph, values, n_shards: int, **solver_kw):
+    def __init__(self, graph, values, n_shards: int,
+                 pallas_stream: Optional[bool] = None, **solver_kw):
         super().__init__(graph, values, **solver_kw)
         self.n_shards = n_shards
-        self._sharded_stream = None
+        self._sharded_stream = {}
+        # pallas_stream: feed the streamed factorization's UPD/TRSM steps
+        # through the gather-GEMM kernels (ops/pallas_supernodal.py) instead
+        # of XLA gather->matmul->scatter chains — the same ~0.4 ms-per-op
+        # dispatch-latency kill as single-device mode="pallas", applied to
+        # the device-indexed sharded schedules (VERDICT r3 item 6). The
+        # index slices are RUNTIME values (axis_index-dependent); they ride
+        # as scalar-prefetch operands. auto (None): TPU backend + f32-
+        # compatible panels. The frontal psum/REDUCE structure is unchanged.
+        if pallas_stream is None:
+            pallas_stream = (jax.default_backend() == "tpu"
+                             and self.b % 8 == 0)
+        if pallas_stream and self.b % 8 != 0:
+            raise ValueError(
+                f"pallas_stream needs a block dim divisible by 8; got "
+                f"b={self.b}"
+            )
+        self._pallas_stream = bool(pallas_stream)
 
         # ---- sharded update schedules: per level, split the triple list
         # over devices and remap destinations to a compact per-level range
@@ -97,11 +116,19 @@ class ShardedSupernodalSolver(SupernodalSolver):
         # ---- sharded assembly destination tables: slice each batch's
         # per-factor dst/transpose arrays into per-device rows (factor
         # tables are sharded contiguously along the leading axis, matching
-        # shard_map's placement)
+        # shard_map's placement). Source tables are the base solver's
+        # per-variable-block `assembly` OR the amalgamated solver's
+        # `_var_assembly` (4-tuples without the `keep` column) — arity is
+        # preserved so `assemble_raw` sees the format it expects.
+        src_assembly = getattr(self, "_var_assembly", None)
+        if src_assembly is None:
+            src_assembly = self.assembly
         self.assembly_sh = []
-        for pairs in self.assembly:
+        for pairs in src_assembly:
             sh_pairs = []
-            for s, t, dst, transpose, keep in pairs:
+            for entry in pairs:
+                s, t, dst, transpose = entry[:4]
+                rest = tuple(entry[4:])
                 m = dst.shape[0]
                 if m % n_shards != 0:
                     raise ValueError(
@@ -112,7 +139,7 @@ class ShardedSupernodalSolver(SupernodalSolver):
                     s, t,
                     jnp.asarray(np.asarray(dst).reshape(n_shards, -1)),
                     jnp.asarray(np.asarray(transpose).reshape(n_shards, -1)),
-                    keep,
+                    rest,
                 ))
             self.assembly_sh.append(sh_pairs)
 
@@ -123,8 +150,8 @@ class ShardedSupernodalSolver(SupernodalSolver):
         Hessian destinations come from this device's slice of the tables."""
         idx = jax.lax.axis_index(axis_name)
         assembly = [
-            [(s, t, dst2d[idx], tr2d[idx], keep)
-             for (s, t, dst2d, tr2d, keep) in pairs]
+            [(s, t, dst2d[idx], tr2d[idx]) + rest
+             for (s, t, dst2d, tr2d, rest) in pairs]
             for pairs in self.assembly_sh
         ]
         return self.assemble_raw(graph_local, lins_local, values,
@@ -168,12 +195,17 @@ class ShardedSupernodalSolver(SupernodalSolver):
         return blocks
 
     # ------------------------------------------------- streamed factorization
-    def _get_sharded_stream(self):
+    def _get_sharded_stream(self, pallas: bool = False):
         """Chunked opcode stream for the sharded factorization. Per level:
         [UPD* (device-indexed, into the compact delta), REDUCE (fixed-shape
-        frontal psum), APPLY* (delta -> blocks, re-zero), CHOL*, TRSM*]."""
-        if self._sharded_stream is not None:
-            return self._sharded_stream
+        frontal psum), APPLY* (delta -> blocks, re-zero), CHOL*, TRSM*].
+
+        pallas=True builds the gather-GEMM variant: identical structure, but
+        TRSM pad rows point the second operand at the Linv trash row n
+        (identity) instead of the ext trash block — the kernels contract
+        against the panel-inverse table, not solve against ext."""
+        if pallas in self._sharded_stream:
+            return self._sharded_stream[pallas]
         from ..ops.supernodal import _build_branched
 
         D = self.n_shards
@@ -231,7 +263,7 @@ class ShardedSupernodalSolver(SupernodalSolver):
             ("upd", upd_rows, (cap, Z, Z) * D),
             ("apply", apply_rows, (T, cap)),
             ("chol", chol_rows, (T,)),
-            ("trsm", trsm_rows, (T, T)),
+            ("trsm", trsm_rows, (T, self.n if pallas else T)),
         ])
         reduce_op = len(fact_br)
         fact_br.append(("reduce", np.zeros((1, 1, 1), np.int32)))
@@ -248,10 +280,12 @@ class ShardedSupernodalSolver(SupernodalSolver):
                 for op, ci in phases[li]:
                     ops.append(op)
                     args.append(ci)
-        self._sharded_stream = _Stream(ops, args, fact_br)
-        return self._sharded_stream
+        self._sharded_stream[pallas] = _Stream(ops, args, fact_br)
+        return self._sharded_stream[pallas]
 
     def _factorize_sharded_stream(self, blocks, axis_name):
+        if self._pallas_stream and blocks.dtype == jnp.float32:
+            return self._factorize_sharded_stream_pallas(blocks, axis_name)
         stream = self._get_sharded_stream()
         idx = jax.lax.axis_index(axis_name)
         D = self.n_shards
@@ -332,9 +366,134 @@ class ShardedSupernodalSolver(SupernodalSolver):
             return ext, self._tail_dense_factor(ext)
         return ext
 
+    def _factorize_sharded_stream_pallas(self, blocks, axis_name):
+        """Gather-GEMM variant of the sharded stream (VERDICT r3 item 6):
+        UPD chunks run ONE pallas kernel each (device-indexed runtime
+        triples as scalar-prefetch operands, dst-sorted VMEM accumulation
+        into the compact delta, combine='acc_add' — the psum applies the
+        subtraction), TRSM chunks contract against a panel-inverse table
+        maintained by the CHOL steps. REDUCE/APPLY (the frontal psum) and
+        the batched Cholesky stay XLA — they are one op per level, not the
+        per-chunk gather tax the kernels remove. Carry: (ext, Linv, delta).
+        """
+        from ..ops import pallas_supernodal as psn
+
+        stream = self._get_sharded_stream(pallas=True)
+        idx = jax.lax.axis_index(axis_name)
+        D = self.n_shards
+        b = self.b
+        interp = jax.default_backend() != "tpu"
+        cap = self._delta_cap
+        eye = jnp.eye(b, dtype=jnp.float32)
+        pad = jnp.stack([jnp.zeros((b, b), jnp.float32), eye])
+        ext = jnp.concatenate([blocks, pad], 0)
+        Linv = jnp.concatenate(
+            [jnp.zeros((self.n, b, b), jnp.float32), eye[None]], 0
+        )
+        delta = jnp.zeros((cap + 1, b, b), jnp.float32)
+
+        def upd(arr):
+            a = jnp.asarray(arr)
+            a = a.reshape(a.shape[0], D, 3, a.shape[2])
+
+            def f(carry, ai):
+                ext, Linv, delta = carry
+                dstc, s1, s2 = a[ai][idx]
+                delta = psn.gather_gemm(ext, ext, delta, s1, s2, dstc,
+                                        op="mm_bt", combine="acc_add",
+                                        interpret=interp)
+                return (ext, Linv, delta)
+            return f
+
+        def reduce_(arr):
+            def f(carry, ai):
+                ext, Linv, delta = carry
+                return (ext, Linv, jax.lax.psum(delta, axis_name))
+            return f
+
+        def apply_(arr):
+            a = jnp.asarray(arr)
+
+            def f(carry, ai):
+                ext, Linv, delta = carry
+                bids, drows = a[ai]
+                ext = ext.at[bids].add(-delta[drows],
+                                       indices_are_sorted=True)
+                delta = delta.at[drows].set(
+                    jnp.zeros((), jnp.float32), indices_are_sorted=True)
+                return (ext, Linv, delta)
+            return f
+
+        def chol(arr):
+            a = jnp.asarray(arr)
+
+            def f(carry, ai):
+                ext, Linv, delta = carry
+                cols = a[ai][0]
+                Ld = sb.cholesky(ext[cols])
+                ext = ext.at[cols].set(Ld, indices_are_sorted=True)
+                Li = sb.solve_lower(Ld, jnp.broadcast_to(eye, Ld.shape))
+                Linv = Linv.at[cols].set(Li, indices_are_sorted=True)
+                return (ext, Linv, delta)
+            return f
+
+        def trsm(arr):
+            a = jnp.asarray(arr)
+
+            def f(carry, ai):
+                ext, Linv, delta = carry
+                offs, od = a[ai]
+                ext = psn.gather_gemm(ext, Linv, ext, offs, od, offs,
+                                      op="mm_bt", combine="set",
+                                      interpret=interp)
+                return (ext, Linv, delta)
+            return f
+
+        mk = {"upd": upd, "reduce": reduce_, "apply": apply_, "chol": chol,
+              "trsm": trsm}
+        branches = [mk[kind](arr) for kind, arr in stream.branches]
+        opcodes = jnp.asarray(stream.opcodes)
+        arg_idx = jnp.asarray(stream.arg_idx)
+
+        def body(i, carry):
+            return jax.lax.switch(opcodes[i], branches, carry, arg_idx[i])
+
+        if stream.n_steps:
+            ext, Linv, delta = jax.lax.fori_loop(
+                0, stream.n_steps, body, (ext, Linv, delta)
+            )
+        if self.n_tail:
+            return ext, self._tail_dense_factor(ext)
+        return ext
+
     def unpack(self, graph, x):
         """(n, b) solution in elimination positions -> delta dict."""
         x_var = x[jnp.asarray(self.pos)]
+        out = {}
+        for grp in self.groups:
+            o = self.group_offset[grp]
+            nn = self.group_sizes[grp]
+            d = graph.manifolds[grp].dim
+            out[grp] = x_var[o : o + nn, :d]
+        return out
+
+
+class ShardedAmalgamatedSupernodalSolver(ShardedSupernodalSolver,
+                                         AmalgamatedSupernodalSolver):
+    """P2 sharding at amalgamated supernode-PANEL granularity (SURVEY.md
+    §2.2 S8 x §2.4 P2): w_max-wide panels (B = w_max * b_var — MXU-sized,
+    and divisible by 8, so the pallas_stream gather-GEMM path applies) with
+    the same per-level frontal-psum structure as the variable-level sharded
+    solver. MRO runs the amalgamated symbolic setup first, then the sharded
+    __init__ slices its panel-level schedules and variable-block assembly
+    tables per device."""
+
+    def unpack(self, graph, x):
+        """(n_s, B) panel solution -> delta dict (panel slot unpacking)."""
+        b = self.b_var
+        ar = jnp.arange(b)
+        xv = x[self._g_row[:, None], self._g_col[:, None] + ar]
+        x_var = xv[jnp.asarray(self.pos)]
         out = {}
         for grp in self.groups:
             o = self.group_offset[grp]
@@ -351,16 +510,36 @@ def lm_solve_supernodal_sharded(
     config: LMConfig = LMConfig(),
     axis_name: str = "node",
     mode: str = "auto",
+    w_max: Optional[int] = None,
+    ordering: Optional[str] = None,
+    dense_tail: int = 0,
+    pallas_stream: Optional[bool] = None,
 ):
     """Full LM with supernode-sharded factorization + factor-sharded
-    assembly over the mesh. Returns (values, SolveStats)."""
+    assembly over the mesh. Returns (values, SolveStats).
+
+    w_max: amalgamate etree chains into w_max-wide supernode panels before
+    sharding (B = w_max * b_var — the MXU-sized granularity; required for
+    pallas_stream on b_var that is not a multiple of 8). pallas_stream:
+    route the streamed factorization's UPD/TRSM chunks through the
+    gather-GEMM kernels (auto: TPU backend + compatible panel size)."""
     from ..solve.lm import _lm_loop
 
     if mesh is None:
         mesh = make_mesh(axis_name=axis_name)
     n_dev = mesh.devices.size
     gp = pad_graph(graph, n_dev)
-    sn = ShardedSupernodalSolver(gp, values0, n_dev, mode=mode)
+    if w_max:
+        sn = ShardedAmalgamatedSupernodalSolver(
+            gp, values0, n_dev, pallas_stream=pallas_stream, w_max=w_max,
+            ordering=ordering or "nd", mode=mode, dense_tail=dense_tail,
+        )
+    else:
+        kw = {"ordering": ordering} if ordering else {}
+        sn = ShardedSupernodalSolver(
+            gp, values0, n_dev, pallas_stream=pallas_stream, mode=mode,
+            dense_tail=dense_tail, **kw,
+        )
     dtype = jax.tree_util.tree_leaves(values0)[0].dtype
 
     graph_specs = jax.tree_util.tree_map(lambda _: P(axis_name), gp)

@@ -94,19 +94,23 @@ def auto_solver(graph, values, state_group: str = "state",
     b_var = max(graph.manifolds[g].dim for g in values)
     dtype = jax.tree_util.tree_leaves(values)[0].dtype
     # large-graph schedule mode:
-    #   - TPU + f32 + tile-compatible panels -> "pallas": per-level gather-
-    #     GEMM kernels (ops/pallas_supernodal.py) replace the stream's XLA
-    #     gather/scatter chains, whose ~0.4 ms fixed per-op dispatch latency
-    #     dominated streamed factorization (measured; see the kernel module
-    #     docstring). Compile cost is O(levels) with bucketed shapes.
-    #   - otherwise "stream": one fori_loop over the chunked instruction
-    #     stream, compile O(1) in levels ("unrolled" compile cost scales
-    #     with schedule SIZE, which the in-solver auto heuristic cannot see).
+    #   - TPU + f32 + tile-compatible panels -> "pallas_stream": the chunked
+    #     instruction stream (compile O(1) in levels) with its UPD/TRSM/
+    #     GEMV/DIAG steps executed as gather-GEMM pallas kernels
+    #     (ops/pallas_supernodal.py) — one kernel per chunk instead of the
+    #     XLA gather->matmul->scatter chains whose ~0.4 ms fixed per-op
+    #     dispatch latency dominated streamed factorization (measured; see
+    #     the kernel module docstring). The fully-unrolled "pallas" mode has
+    #     the same kernels but compile cost O(levels * chunks) — measured
+    #     40+ min to compile a 10k-state LM, vs minutes for the stream.
+    #   - otherwise "stream": same instruction stream, XLA step bodies
+    #     ("unrolled" compile cost scales with schedule SIZE, which the
+    #     in-solver auto heuristic cannot see).
     if large:
         panel_b = w_max * b_var
         use_pallas = (jax.default_backend() == "tpu"
                       and dtype == jnp.float32 and panel_b % 8 == 0)
-        mode = "pallas" if use_pallas else "stream"
+        mode = "pallas_stream" if use_pallas else "stream"
     else:
         mode = "auto"
     # dense top-of-tree: fold the trailing separator panels into one

@@ -94,17 +94,18 @@ def test_extreme_fill_routes_to_pcg(monkeypatch):
 
 
 def test_large_loop_graph_on_tpu_routes_to_pallas(monkeypatch):
-    """On the TPU backend the large-graph exact path picks mode=pallas
-    (gather-GEMM kernels) instead of the XLA instruction stream (VERDICT r3
-    item 1a). Dispatch decision only — compiled-kernel parity is covered by
-    the opt-in device test / bench."""
+    """On the TPU backend the large-graph exact path picks
+    mode=pallas_stream (gather-GEMM step kernels over the chunked
+    instruction stream) instead of the XLA stream (VERDICT r3 item 1a).
+    Dispatch decision only — compiled-kernel parity is covered by the
+    opt-in device test / bench."""
     from gpslam_tpu.solve import auto as auto_mod
 
-    data = synthetic.make_se2_pose_graph(n_states=2000, seed=4)
+    data = synthetic.make_se2_pose_graph(n_states=1600, seed=4)
     graph, values = pose2_slam.build(data, dtype=jnp.float32)
     monkeypatch.setattr(auto_mod.jax, "default_backend", lambda: "tpu")
     solver, msg = _dispatch(graph, values)
-    assert "mode=pallas" in msg, msg
+    assert "mode=pallas_stream" in msg, msg
     assert "ordering=nd" in msg, msg
 
 
@@ -113,7 +114,7 @@ def test_large_loop_graph_f64_stays_on_stream(monkeypatch):
     TPU-reporting backends."""
     from gpslam_tpu.solve import auto as auto_mod
 
-    data = synthetic.make_se2_pose_graph(n_states=2000, seed=4)
+    data = synthetic.make_se2_pose_graph(n_states=1600, seed=4)
     graph, values = pose2_slam.build(data, dtype=jnp.float64)
     monkeypatch.setattr(auto_mod.jax, "default_backend", lambda: "tpu")
     solver, msg = _dispatch(graph, values)

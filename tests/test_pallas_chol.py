@@ -109,3 +109,28 @@ def test_bcr_fused_fallthrough_small_and_f64():
     x_f = pallas_bcr.bcr_solve_fused(D, U, r)  # f64 -> XLA path
     x_ref = tridiag.bcr_solve(D, U, r)
     np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), atol=1e-10)
+
+
+@pytest.mark.parametrize("n,b,k", [(1024, 18, 1)])
+def test_bcr_fused_v3_large_block_matches_xla(n, b, k):
+    """v3 split-kernel pipeline for 12 < b <= 24 (WNOJ SE(3) b=18, VERDICT
+    r3 item 3): interpret-mode parity vs the XLA BCR path. ONE case only:
+    the interpreted v3 level is a ~150k-equation jaxpr whose XLA-CPU compile
+    costs ~8 min cold (seconds warm via the persistent compile cache);
+    measured maxdiff 7.5e-8 at this shape."""
+    import jax.numpy as jnp
+
+    from gpslam_tpu.ops import pallas_bcr, tridiag
+
+    A = RNG.normal(size=(n, b, b)).astype(np.float32) * 0.1
+    D = A @ A.transpose(0, 2, 1) + (4 + b) * np.eye(b, dtype=np.float32)
+    U = (RNG.normal(size=(n, b, b)) * 0.3).astype(np.float32)
+    U[-1] = 0
+    r = RNG.normal(size=(n, b, k)).astype(np.float32)
+    D, U, r = map(jnp.asarray, (D, U, r))
+
+    x_ref = tridiag.bcr_solve(D, U, r)
+    x_f = pallas_bcr.bcr_solve_fused(D, U, r, min_pallas_n=512, tile_m=2,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                               atol=2e-4, rtol=2e-4)

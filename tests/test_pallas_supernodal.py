@@ -53,6 +53,29 @@ def test_pallas_mode_rejects_unpadded_blocks(problem):
 
 
 @pytest.mark.parametrize("dense_tail", [0, 2])
+def test_pallas_stream_solver_matches_unrolled(problem, dense_tail):
+    """mode='pallas_stream' (chunked instruction stream with gather-GEMM
+    step kernels, compile O(1) in levels — what auto_solver dispatches on
+    TPU for large graphs) == unrolled level schedules, interpret mode."""
+    graph, values, lins = problem
+    lam = jnp.float32(0.01)
+    sn_u = AmalgamatedSupernodalSolver(graph, values, ordering="nd",
+                                       w_max=4, mode="unrolled",
+                                       dense_tail=dense_tail)
+    sn_p = AmalgamatedSupernodalSolver(graph, values, ordering="nd",
+                                       w_max=4, mode="pallas_stream",
+                                       dense_tail=dense_tail)
+    d_u = jax.jit(lambda g, v, l: sn_u.solver(g, v, l, lam))(
+        graph, values, lins)
+    d_p = jax.jit(lambda g, v, l: sn_p.solver(g, v, l, lam))(
+        graph, values, lins)
+    for grp in d_u:
+        a, b = np.asarray(d_u[grp]), np.asarray(d_p[grp])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30)
+        assert rel < 2e-4, (grp, rel)
+
+
+@pytest.mark.parametrize("dense_tail", [0, 2])
 def test_pallas_selected_inverse_matches_unrolled(problem, dense_tail):
     """The pallas-factor tuple branch of selected_inverse (VERDICT r3 weak
     1): a factor produced by mode='pallas' must yield the same selected

@@ -129,3 +129,54 @@ def test_sharded_stream_lm_at_scale():
     np.testing.assert_allclose(
         np.asarray(v_s["state"]), np.asarray(v_1["state"]), atol=1e-6
     )
+
+
+def test_sharded_amalgamated_lm_matches_single_device(lc_problem):
+    """P2 at amalgamated supernode-PANEL granularity (round 4): the sharded
+    panel-level factorization + sliced variable-block assembly == the
+    single-device amalgamated solver, end-to-end through LM."""
+    from gpslam_tpu.ops.amalgamated import AmalgamatedSupernodalSolver
+
+    graph, values = lc_problem
+    mesh = make_mesh(N_DEV, axis_name="node")
+    cfg = LMConfig(max_iterations=6)
+    v_sh, st_sh = lm_solve_supernodal_sharded(
+        graph, values, mesh, cfg, w_max=4, ordering="nd", mode="unrolled",
+        pallas_stream=False,
+    )
+    sn = AmalgamatedSupernodalSolver(pad_graph(graph, N_DEV), values,
+                                     w_max=4, ordering="nd")
+    v_1, st_1 = lm_solve(pad_graph(graph, N_DEV), values, cfg,
+                         solver=sn.solver)
+    assert float(st_sh.error) == pytest.approx(float(st_1.error), rel=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(v_sh["state"]), np.asarray(v_1["state"]), atol=1e-9
+    )
+
+
+def test_sharded_pallas_stream_lm_matches_xla_stream(lc_problem):
+    """VERDICT r3 item 6: the gather-GEMM-fed sharded stream (UPD/TRSM as
+    pallas kernels with device-indexed runtime schedules, interpret mode on
+    the CPU mesh) == the XLA sharded stream, f32, end-to-end through LM."""
+    graph, values64 = lc_problem
+    values = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), values64
+    )
+    graph = jax.tree_util.tree_map(
+        lambda a: (jnp.asarray(a, jnp.float32)
+                   if jnp.asarray(a).dtype == jnp.float64 else a), graph
+    )
+    mesh = make_mesh(N_DEV, axis_name="node")
+    cfg = LMConfig(max_iterations=5)
+    v_p, st_p = lm_solve_supernodal_sharded(
+        graph, values, mesh, cfg, w_max=4, ordering="nd", mode="stream",
+        pallas_stream=True,
+    )
+    v_x, st_x = lm_solve_supernodal_sharded(
+        graph, values, mesh, cfg, w_max=4, ordering="nd", mode="stream",
+        pallas_stream=False,
+    )
+    assert float(st_p.error) == pytest.approx(float(st_x.error), rel=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(v_p["state"]), np.asarray(v_x["state"]), atol=2e-4
+    )
