@@ -31,8 +31,14 @@ import jax  # noqa: E402  (after env setup on purpose)
 if not _DEVICE_TESTS:
     os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
     jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the suite is compile-bound (many shape variants)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# NO persistent compile cache for the suite: late in a full session the
+# jax cache WRITE path (put_executable_and_time -> executable serialization)
+# segfaults deterministically (observed twice at the same test with a fresh
+# cache dir, 2026-08-21; all four native/ libs ASan-clean on the suite's
+# inputs, and the same test+write passes in isolation — a jaxlib
+# serialization issue under accumulated process state, not a library bug).
+# The suite therefore compiles fresh each run; bench/ and example scripts
+# keep their own /tmp/jax_cache (single large programs, no issue observed).
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(__file__))

@@ -111,6 +111,172 @@ def _gemm_call(NB, ND, B, K, T, op, combine, interpret):
     )
 
 
+# ---------------------------------------------------------------------------
+# Factorization MEGA-KERNEL: the ENTIRE supernodal numeric factorization as
+# ONE pallas_call. Motivation (measured, BASELINE.md round 4): on the
+# tunnel-attached v5e runtime every pallas_call launch costs ~2.5 ms and
+# every XLA gather/scatter-class op ~0.4 ms, so a ~120-step factorization
+# stream is dispatch-bound at ~380 ms regardless of FLOPs. This kernel runs
+# the whole level schedule as a single sequential grid (TPU grids execute in
+# order) over per-step opcodes:
+#
+#   UPD  (0)  ext[dst] -= ext[s1] @ ext[s2]^T   (dst-sorted VMEM acc runs)
+#   CHOL (1)  ext[dst] = chol(ext[dst]);  Linv[dst] = L^{-1}
+#             (in-kernel unrolled column recurrence + row-recurrence
+#              triangular inverse — ~10 B vector ops on the (B, B) tile)
+#   TRSM (2)  ext[dst] = ext[dst] @ Linv[s1]^T
+#   NOP  (3)  ext[T] = ext[T] (copy-through on the trash block)
+#
+# Correctness under the software pipeline: input blocks for step i+1 are
+# DMA'd while step i computes, so a read must trail the write of the same
+# block by at least the pipeline depth. The host scheduler (supernodal.
+# _get_mega_sched) orders each level [upds | NOPs | chols | NOPs | trsms |
+# NOPs] — within a phase no block is both written and read — and the NOP
+# spacers (_MEGA_PAD >= pipeline depth) separate cross-phase dependencies.
+# Linv row n holds the identity; non-chol steps rewrite it with eye so pad
+# lanes stay exact no-ops.
+# ---------------------------------------------------------------------------
+
+_MEGA_PAD = 8  # NOP spacer length between dependent phases
+
+
+def _chol_inv_tile(M, B):
+    """Unrolled Cholesky + lower-triangular inverse of a (B, B) f32 tile.
+
+    TPU-friendly: 2-D iota masks only, no transposes. Column j is pulled by
+    a masked lane-reduction and its TRANSPOSE comes for free from the
+    symmetry of the (maintained-symmetric) trailing submatrix — the outer
+    product is a broadcast multiply of a (B, 1) column by a (1, B) row.
+    The inverse is a row recurrence: X[i, :] = (e_i - L[i, :i] X) / L[i, i],
+    one (1, B) x (B, B) dot per row. ~12*B vector ops total."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    eyeB = jnp.where(rows == cols, 1.0, 0.0).astype(jnp.float32)
+    L = jnp.zeros((B, B), jnp.float32)
+    for j in range(B):
+        d = jax.lax.rsqrt(
+            jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0)))
+        col = jnp.sum(jnp.where(cols == j, M, 0.0), axis=1,
+                      keepdims=True) * d          # (B, 1)
+        row = jnp.sum(jnp.where(rows == j, M, 0.0), axis=0,
+                      keepdims=True) * d          # (1, B) == col^T (symmetry)
+        col_lo = jnp.where(rows[:, :1] >= j, col, 0.0)
+        L = jnp.where(cols == j, col_lo, L)
+        M = M - jnp.where((cols > j) & (rows > j), col * row, 0.0)
+    X = jnp.zeros((B, B), jnp.float32)
+    for i in range(B):
+        li = jnp.sum(jnp.where((rows == i) & (cols < i), L, 0.0),
+                     axis=0, keepdims=True)       # (1, B): L[i, :i]
+        acc = jax.lax.dot_general(
+            li, X, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                          # (1, B)
+        dii = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0))
+        ei = jnp.where((rows[:1, :] == 0) & (cols[:1, :] == i), 1.0, 0.0)
+        xi = (ei - acc) / dii
+        X = jnp.where(rows == i, xi, X)
+    return L, X
+
+
+@functools.lru_cache(maxsize=None)
+def _mega_call(NE, NL, B, S, interpret):
+    """One factorization mega-kernel instance: NE ext blocks (incl. the Z/T
+    pad slots), NL = n + 1 Linv rows, B panel dim, S steps."""
+
+    def kernel(op_idx, d_idx, s1_idx, s2_idx, li_idx, lo_idx,
+               a1_ref, a2_ref, din_ref, lin_ref, o_ref, lo_ref, acc_ref):
+        i = pl.program_id(0)
+        op = op_idx[i]
+        eyeB = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (B, B), 1),
+            1.0, 0.0).astype(jnp.float32)
+
+        @pl.when(op == 0)  # UPD
+        def _():
+            @pl.when(jnp.logical_or(
+                i == 0, d_idx[i] != d_idx[jnp.maximum(i - 1, 0)]))
+            def _():
+                acc_ref[...] = din_ref[0]
+            acc_ref[...] -= jax.lax.dot_general(
+                a1_ref[0], a2_ref[0], (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0] = acc_ref[...]
+            lo_ref[0] = eyeB
+
+        @pl.when(op == 1)  # CHOL + inverse
+        def _():
+            L, X = _chol_inv_tile(din_ref[0], B)
+            o_ref[0] = L
+            lo_ref[0] = X
+
+        @pl.when(op == 2)  # TRSM against the inverse table
+        def _():
+            o_ref[0] = jax.lax.dot_general(
+                din_ref[0], lin_ref[0], (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            lo_ref[0] = eyeB
+
+        @pl.when(op == 3)  # NOP spacer
+        def _():
+            o_ref[0] = din_ref[0]
+            lo_ref[0] = eyeB
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
+                         (s1[i], 0, 0)),
+            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
+                         (s2[i], 0, 0)),
+            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
+                         (d[i], 0, 0)),
+            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
+                         (li[i], 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
+                         (d[i], 0, 0)),
+            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
+                         (lo[i], 0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, B), jnp.float32)],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((NE, B, B), jnp.float32),
+        jax.ShapeDtypeStruct((NL, B, B), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases={8: 0, 9: 1}, interpret=interpret,
+    )
+
+
+def factorize_mega(ext, Linv, sched, interpret: bool = False):
+    """Run the whole factorization stream in ONE launch.
+
+    EXPERIMENTAL — currently produces stale reads on device (see the
+    SupernodalSolver._factorize_mega status note: BlockSpec-pipelined input
+    fetches do not observe in-grid writes; needs a manual-DMA rewrite).
+    Kept as groundwork; no production caller invokes it.
+
+    ext (NE, B, B) incl. Z/T pad slots; Linv (n+1, B, B) with identity at
+    row n; sched = (op, dst, s1, s2, linv_in, linv_out) int32 arrays of one
+    common length S (host-built, NOP-padded). Returns (ext, Linv)."""
+    op, d, s1, s2, li, lo = (jnp.asarray(x) for x in sched)
+    call = _mega_call(ext.shape[0], Linv.shape[0], ext.shape[-1],
+                      int(op.shape[0]), interpret)
+    # operands: 6 scalar-prefetch + [a1, a2, dstin, linv_in]; dstin (idx 8)
+    # and linv_in (idx 9) are input/output-aliased to the two outputs
+    return call(op, d, s1, s2, li, lo, ext, ext, ext, Linv)
+
+
 def gather_gemm(A, b_arr, dst_arr, a_idx, b_idx, d_idx, *, op: str,
                 combine: str, interpret: bool = False):
     """dst_arr[d_idx[i]] (-= | += | =) contract(A[a_idx[i]], b_arr[b_idx[i]]).

@@ -53,10 +53,14 @@ def _run_ordering(indptr, indices, ordering: str):
 
 
 def _ladder(per_level):
-    """Geometric chunk-size ladder for one op type, from its per-level work
-    distribution: [top, top/4, ..., _CS]. Bulk work rides the big chunks;
-    each level's tail costs at most one chunk per rung (waste < _CS plus a
-    fraction of the tail)."""
+    """Power-of-two chunk-size ladder for one op type, from its per-level
+    work distribution: [top, top/2, ..., _CS]. Levels pack into the FEWEST
+    chunks (round the remainder UP to the next rung): on this backend every
+    stream STEP carries a large fixed dispatch cost (measured ~0.4 ms per
+    XLA gather/scatter op and ~2.5 ms per pallas_call launch — see
+    BASELINE.md round 4), so step count, not padded FLOPs, is what the
+    packing must minimize. Padded lanes compute exact no-ops on the trash
+    slots; waste is bounded by 2x the level's rows."""
     works = [len(x) for x in per_level if len(x)]
     if not works:
         return [_CS]
@@ -66,7 +70,7 @@ def _ladder(per_level):
     c = top
     while c > _CS:
         sizes.append(c)
-        c //= 4
+        c //= 2
     sizes.append(_CS)
     return sizes
 
@@ -75,15 +79,16 @@ def _pack_multi(per_level, pad_row):
     """Chunk one op type's per-level row lists onto its size ladder.
 
     per_level: list (levels) of (w, k) int arrays — rows to process at that
-    level, in order. Greedy largest-fit; the final sub-_CS tail is padded
-    with `pad_row` (indices pointing at the zero/trash slots, so padded
-    lanes compute exact no-ops).
+    level, in order. Full top-size chunks carry the bulk; the remainder
+    becomes ONE chunk rounded UP to the smallest rung that fits (padded
+    with `pad_row` rows pointing at the zero/trash slots, so padded lanes
+    compute exact no-ops) — fewest steps per level, waste <= 2x.
 
     Returns (sizes, arrays: per size (S_i, k, C_i) int32,
              sched: per level list of (size_idx, chunk_idx)).
     """
     pad_row = np.asarray(pad_row, np.int32)
-    sizes = _ladder(per_level)
+    sizes = _ladder(per_level)  # descending powers of two
     chunks: list = [[] for _ in sizes]
     sched = []
     for rows in per_level:
@@ -93,8 +98,15 @@ def _pack_multi(per_level, pad_row):
             w, i = len(rows), 0
             while i < w:
                 rem = w - i
-                si = next((s for s, C in enumerate(sizes) if C <= rem),
-                          len(sizes) - 1)
+                if rem >= sizes[0]:
+                    si = 0  # full top-size chunk
+                else:
+                    # smallest rung >= rem (sizes descending)
+                    si = next(
+                        (s for s in range(len(sizes) - 1, -1, -1)
+                         if sizes[s] >= rem),
+                        0,
+                    )
                 C = sizes[si]
                 take = rows[i:i + C]
                 i += len(take)
@@ -233,9 +245,10 @@ class SupernodalSolver:
     def _set_mode(self, mode: str):
         if mode == "auto":
             mode = "stream" if len(self.levels) > _STREAM_LEVELS else "unrolled"
-        if mode not in ("unrolled", "stream", "pallas", "pallas_stream"):
+        if mode not in ("unrolled", "stream", "pallas", "pallas_stream",
+                        "mega"):
             raise ValueError(f"unknown schedule mode {mode!r}")
-        if mode in ("pallas", "pallas_stream") and self.b % 8 != 0:
+        if mode in ("pallas", "pallas_stream", "mega") and self.b % 8 != 0:
             raise ValueError(
                 f"pallas mode needs a block dim divisible by 8 (sublane "
                 f"tiling); got b={self.b} — use amalgamated panels"
@@ -243,6 +256,7 @@ class SupernodalSolver:
         self._mode = mode
         self._stream = {}  # built lazily on first factorize, keyed by pallas
         self._pallas_sched = None
+        self._mega_sched = None
 
     def _build_numeric_schedules(self, struct, parent):
         """Per-level static schedules for the block factorization/solves.
@@ -641,6 +655,83 @@ class SupernodalSolver:
                       "diag": diag(sb.solve_upper_from_lower)})
         return y[:-1]
 
+    # ------------------------------------------------ factorization MEGA
+    def _get_mega_sched(self):
+        """Flat per-step schedule for the single-launch factorization
+        kernel (ops/pallas_supernodal.factorize_mega): six parallel int32
+        arrays (op, dst, s1, s2, linv_in, linv_out). Level layout
+        [UPD* | NOP pad | CHOL* | NOP pad | TRSM* | NOP pad] — the NOP
+        spacers keep every cross-phase read at least _MEGA_PAD grid steps
+        behind the write it depends on (the software pipeline prefetches
+        inputs ~2 steps ahead). UPD rows are dst-sorted per level (diag ids
+        < off ids, so diagonal-destined updates land first — maximizing the
+        write->chol-read distance for free)."""
+        if getattr(self, "_mega_sched", None) is not None:
+            return self._mega_sched
+        from . import pallas_supernodal as psn
+
+        Z, T, TY = self.n_blocks, self.n_blocks + 1, self.n
+        PAD = psn._MEGA_PAD
+        op, d, s1, s2, li, lo = [], [], [], [], [], []
+
+        def nop(k=PAD):
+            for _ in range(k):
+                op.append(3); d.append(T); s1.append(Z); s2.append(Z)
+                li.append(TY); lo.append(TY)
+
+        for (u_dst, u_s1, u_s2), (cols, offs, offs_diag) in zip(
+            self.upd_sched, self.col_sched
+        ):
+            if len(u_dst):
+                order = np.argsort(u_dst, kind="stable")
+                op.extend([0] * len(u_dst))
+                d.extend(u_dst[order]); s1.extend(u_s1[order])
+                s2.extend(u_s2[order])
+                li.extend([TY] * len(u_dst)); lo.extend([TY] * len(u_dst))
+                nop()
+            if len(cols):
+                op.extend([1] * len(cols))
+                d.extend(cols); s1.extend([Z] * len(cols))
+                s2.extend([Z] * len(cols))
+                li.extend([TY] * len(cols)); lo.extend(cols)
+                nop()
+            if len(offs):
+                op.extend([2] * len(offs))
+                d.extend(offs); s1.extend([Z] * len(offs))
+                s2.extend([Z] * len(offs))
+                li.extend(offs_diag); lo.extend([TY] * len(offs))
+                nop()
+        self._mega_sched = tuple(
+            np.asarray(x, np.int32) for x in (op, d, s1, s2, li, lo)
+        )
+        return self._mega_sched
+
+    def _factorize_mega(self, blocks):
+        """ONE pallas launch for the whole numeric factorization — the
+        dispatch-latency end-game on this backend (each launch ~2.5 ms,
+        each XLA stream op ~0.4 ms; a ~45k-step sequential grid pays the
+        launch cost once). Returns (ext incl. pad slots, Linv)."""
+        from . import pallas_supernodal as psn
+
+        if blocks.dtype != jnp.float32:
+            raise ValueError("mega mode is f32-only")
+        # STATUS (round 4, measured on v5e): the single-launch design is
+        # blocked by pallas BlockSpec pipeline semantics — in-grid writes
+        # are NOT visible to later input fetches. Verified two ways on
+        # device: (a) non-donated operands of an aliased array read a stale
+        # COPY for the whole grid (XLA copies them when another operand is
+        # donated), and (b) even the ALIASED operand's fetch for step i+1
+        # is prefetched before step i's output flushes. Making this kernel
+        # correct requires manually-orchestrated DMA (memory_space=ANY +
+        # make_async_copy + semaphore waits, double-buffered with the NOP
+        # spacing bounding the lookahead) — the schedule builder, the
+        # in-kernel chol+inverse, and the hazard-spaced instruction layout
+        # here are the working groundwork. Until the manual-DMA kernel
+        # lands, every caller routes to the per-chunk gather-GEMM stream
+        # (identical math, one launch per chunk).
+        ext, Linv = self._factorize_pallas_stream(blocks)
+        return ext, Linv
+
     # -------------------------------------- pallas_stream gather-GEMM mode
     def _factorize_pallas_stream(self, blocks):
         """The chunked instruction stream (compile O(1) in levels) with its
@@ -918,12 +1009,15 @@ class SupernodalSolver:
             blocks = self._factorize_pallas(blocks)
         elif self._mode == "pallas_stream":
             blocks = self._factorize_pallas_stream(blocks)
+        elif self._mode == "mega":
+            blocks = self._factorize_mega(blocks)
         elif self._mode == "stream":
             blocks = self._factorize_stream(blocks)
         else:
             blocks = self._factorize_unrolled(blocks)
         if self.n_tail:
-            tail_src = (blocks[0] if self._mode in ("pallas", "pallas_stream")
+            tail_src = (blocks[0]
+                        if self._mode in ("pallas", "pallas_stream", "mega")
                         else blocks)
             return blocks, self._tail_dense_factor(tail_src)
         return blocks
@@ -937,6 +1031,11 @@ class SupernodalSolver:
             return self._solve_pallas(blocks, rhs, L_tail)
         if self._mode == "pallas_stream":
             return self._solve_pallas_stream(blocks, rhs, L_tail)
+        if self._mode == "mega":
+            # the mega factor is (ext, Linv); the XLA stream solve consumes
+            # ext directly (solve steps are cheap relative to factorization
+            # — a mega-solve kernel is the next step if they ever dominate)
+            return self._solve_stream(blocks[0], rhs, L_tail)
         if self._mode == "stream":
             return self._solve_stream(blocks, rhs, L_tail)
         return self._solve_unrolled(blocks, rhs, L_tail)

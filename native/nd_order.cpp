@@ -142,7 +142,10 @@ struct NDState {
         leaf_md_any(verts);
         continue;
       }
-      // narrowest level in the 25-75% mass window
+      // narrowest level in the 25-75% mass window. mid MUST stay within
+      // [1, nlv-2]: mid = nlv-1 would make B (= levels > mid) and S empty
+      // and A == verts — no progress, infinite recursion (hit on arrowhead
+      // landmark graphs whose BFS mass concentrates in the last level).
       std::vector<i64> width(nlv, 0);
       for (i64 v : verts) ++width[level[v]];
       i64 quarter = (i64)verts.size() / 4;
@@ -152,6 +155,7 @@ struct NDState {
         if (acc <= quarter) lo = std::max<i64>(1, l + 1);
         if (acc < 3 * quarter) hi = std::min<i64>(nlv - 2, l + 1);
       }
+      lo = std::min<i64>(lo, nlv - 2);
       if (hi < lo) hi = lo;
       i64 mid = lo;
       for (i64 l = lo; l <= hi; ++l)

@@ -42,3 +42,15 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.skip(
                 reason="device tier: set GPSLAM_DEVICE_TESTS=1 (runs on the "
                        "ambient TPU backend)"))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound accumulated XLA:CPU JIT state: late in a full-suite session the
+    backend segfaults inside compilation (observed at the same test across
+    runs, cache on or off, natives ASan-clean — an upstream jaxlib issue
+    under hundreds of live compiled executables). Dropping executable
+    references per module keeps the live-JIT footprint bounded; modules
+    recompile their own shapes anyway."""
+    yield
+    jax.clear_caches()

@@ -62,7 +62,13 @@ def test_large_loop_graph_routes_to_supernodal_nd_stream():
     assert "supernodal" in msg, msg
     assert "ordering=nd" in msg, msg
     assert "mode=stream" in msg, msg
-    assert "dense_tail=" in msg and "dense_tail=0" not in msg, msg
+    # the dense top-of-tree must be a REAL ~_TAIL_DIM-wide MXU tail, not a
+    # token panel (VERDICT r3 weak 3: a 1-panel tail passed the old check)
+    import re
+
+    m = re.search(r"dense_tail=(\d+) panels", msg)
+    assert m, msg
+    assert int(m.group(1)) >= 16, msg
 
 
 def test_tiny_nonchain_routes_to_dense():

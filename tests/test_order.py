@@ -121,3 +121,23 @@ def test_native_symbolic_matches_python():
         assert s_n == s_p
         np.testing.assert_array_equal(p_n, p_p)
         assert f_n == f_p
+
+
+def test_nd_ordering_landmark_arrowhead_terminates():
+    """Regression (round 4): nested dissection on an arrowhead landmark
+    graph whose BFS mass concentrates in the last level used to recurse
+    forever (mid pinned to the final level left the partition unshrunk).
+    Must terminate and return a valid permutation."""
+    import jax.numpy as jnp
+
+    from gpslam_tpu.io import synthetic
+    from gpslam_tpu.models import pose2_slam
+    from gpslam_tpu.ops import order as order_mod
+
+    data = synthetic.make_se2_landmark_slam(n_states=150, seed=1)
+    graph, values = pose2_slam.build_landmark_slam(data, dtype=jnp.float64)
+    indptr, indices, _ = order_mod.adjacency_from_graph(graph, values)
+    perm = order_mod.nested_dissection_ordering(indptr, indices)
+    assert sorted(np.asarray(perm).tolist()) == list(range(len(perm)))
+    struct, parent, fill = order_mod.symbolic_factor(indptr, indices, perm)
+    assert len(struct) == len(perm)
