@@ -159,19 +159,40 @@ def _digest(idx: np.ndarray) -> bytes:
     ).digest()
 
 
+_warned_all_traced = False
+
+
 def _verify_plan_binding(plan: "ChainPlan", graph: Graph):
     """Trace-time guard (ADVICE r3): a jitted solver carrying a ChainPlan is
     value-correct only for the graph the plan was built from. When the
     call-time idx arrays are concrete (the normal case — idx is host numpy),
     check them against the build-time digests; traced idx (runtime index
-    data) cannot be checked and such callers should use plain role tables."""
+    data) CANNOT be checked — if every idx is traced (e.g. the graph rides as
+    a jit argument), the binding goes entirely unverified and a once-per-
+    process warning says so (ADVICE r4)."""
+    global _warned_all_traced
     if plan.idx_digest is None:
         return
+    if len(graph.batches) != len(plan.idx_digest):
+        raise ValueError(
+            f"chain plan mismatch: graph has {len(graph.batches)} factor "
+            f"batches but the plan was built for {len(plan.idx_digest)} — "
+            f"rebuild with make_chain_solver(graph)"
+        )
+    checked = skipped = 0
     for bi, batch in enumerate(graph.batches):
         for s, dig in plan.idx_digest[bi].items():
+            if s >= len(batch.idx):
+                raise ValueError(
+                    f"chain plan mismatch: batch {batch.name!r} has no slot "
+                    f"{s} the plan was built against — rebuild with "
+                    f"make_chain_solver(graph)"
+                )
             ix = batch.idx[s]
             if isinstance(ix, jax.core.Tracer):
+                skipped += 1
                 continue
+            checked += 1
             if _digest(ix) != dig:
                 raise ValueError(
                     f"chain plan mismatch: batch {batch.name!r} slot {s} has "
@@ -179,6 +200,14 @@ def _verify_plan_binding(plan: "ChainPlan", graph: Graph):
                     f"built for — rebuild with make_chain_solver(graph) (the "
                     f"plan bakes slice/gather tables for the build-time idx)"
                 )
+    if skipped and not checked and not _warned_all_traced:
+        _warned_all_traced = True
+        warnings.warn(
+            "chain plan binding could not be verified: every idx array is "
+            "traced (graph passed as a jit argument), so the digest check is "
+            "skipped — the plan is only value-correct for the graph it was "
+            "built from (make_chain_solver docstring)", stacklevel=3,
+        )
 
 
 def _make_slot_plan(idx: np.ndarray) -> SlotPlan:
@@ -406,9 +435,12 @@ def make_chain_solver(graph: Graph, state_group: str = "state",
     scatter-free assembly plan bakes slice starts and gather tables for the
     build-time idx values, so calling it with a same-shape graph holding
     DIFFERENT indices is invalid (different landmark observation patterns,
-    reordered factors). The binding is enforced: assembly verifies an idx
-    digest at trace time and raises on mismatch (runtime-traced idx arrays
-    skip the check — such callers should pass plain role tables instead).
+    reordered factors). The binding is verified on a best-effort basis:
+    assembly checks an idx digest at trace time and raises on mismatch, but
+    ONLY for idx arrays that are concrete at trace time — runtime-traced idx
+    (e.g. a graph passed as a jit argument, the dominant usage) skip the
+    check, with a once-per-process warning when nothing could be verified.
+    Callers with runtime index data should pass plain role tables instead.
 
     use_pallas routes the BCR through the fused plane-major Pallas level
     kernels (ops/pallas_bcr.py; f32, b <= 8, big chains only — measured

@@ -537,10 +537,11 @@ def bcr_solve_fused(D, U, r, min_pallas_n: int = 8192, tile_m: int = 16,
     if N < 2 * min_pallas_n or dtype != jnp.float32 or b > 24:
         return tridiag.bcr_solve(D, U, r)
     if 12 < b <= 24:
-        # v3 VMEM estimate (worst kernel D1: C1+C2+Linv+r in, P1+P2+q1 out,
-        # double-buffered) — fall back to XLA when the rhs panel k pushes it
-        # over the ~16 MB budget
-        rows_d1 = 3 * b * b + b * k + 2 * b * b + b * k
+        # v3 VMEM estimate — the worst kernel is D1 (5*b*b + 2*b*k rows)
+        # for narrow rhs, but the backsub kernel (3*b*b + 4*b*k rows)
+        # overtakes it when k > b (ADVICE r4); fall back to XLA when the
+        # larger of the two pushes past the ~16 MB budget
+        rows_d1 = max(5 * b * b + 2 * b * k, 3 * b * b + 4 * b * k)
         if rows_d1 * 8 * LANE * 4 * 2 > 15 * 2**20:
             return tridiag.bcr_solve(D, U, r)
         version = 3

@@ -192,6 +192,11 @@ class ShardedSupernodalSolver(SupernodalSolver):
                     sb.solve_lower(Ljj, jnp.swapaxes(B, -1, -2)), -1, -2
                 )
                 blocks = blocks.at[offs].set(X)
+        if self.n_tail:
+            # dense top-of-tree, replicated (same as the streamed variants —
+            # previously the unrolled sharded path dropped the tail factor
+            # and solve_factored crashed unpacking it)
+            return blocks, self._tail_dense_factor(blocks)
         return blocks
 
     # ------------------------------------------------- streamed factorization
@@ -424,6 +429,8 @@ class ShardedSupernodalSolver(SupernodalSolver):
                 return (ext, Linv, delta)
             return f
 
+        n = self.n
+
         def chol(arr):
             a = jnp.asarray(arr)
 
@@ -433,7 +440,11 @@ class ShardedSupernodalSolver(SupernodalSolver):
                 Ld = sb.cholesky(ext[cols])
                 ext = ext.at[cols].set(Ld, indices_are_sorted=True)
                 Li = sb.solve_lower(Ld, jnp.broadcast_to(eye, Ld.shape))
-                Linv = Linv.at[cols].set(Li, indices_are_sorted=True)
+                # pad cols (= T = n_blocks+1 > n) land on the Linv identity
+                # trash row n, same as the single-device stream — an explicit
+                # clamp rather than relying on scatter OOB-drop (ADVICE r4)
+                Linv = Linv.at[jnp.minimum(cols, n)].set(
+                    Li, indices_are_sorted=True)
                 return (ext, Linv, delta)
             return f
 

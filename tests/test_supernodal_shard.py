@@ -94,6 +94,24 @@ def test_sharded_linear_step_matches(lc_problem):
         )
 
 
+def test_sharded_unrolled_dense_tail(lc_problem):
+    """Regression (round 5): the UNROLLED sharded factorization dropped the
+    dense-tail factor entirely (solve_factored then crashed unpacking it) —
+    it must return (blocks, L_tail) like the streamed variants and match the
+    no-tail solve."""
+    graph, values = lc_problem
+    mesh = make_mesh(N_DEV, axis_name="node")
+    cfg = LMConfig(max_iterations=6)
+    v_t, st_t = lm_solve_supernodal_sharded(graph, values, mesh, cfg,
+                                            mode="unrolled", dense_tail=2)
+    v_u, st_u = lm_solve_supernodal_sharded(graph, values, mesh, cfg,
+                                            mode="unrolled")
+    assert float(st_t.error) == pytest.approx(float(st_u.error), rel=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(v_t["state"]), np.asarray(v_u["state"]), atol=1e-7
+    )
+
+
 def test_sharded_stream_lm_matches_unrolled(lc_problem):
     """P2 factorization as a chunked opcode stream (UPD*/REDUCE/APPLY*/
     CHOL*/TRSM* per level, compile O(1) in levels) == the per-level
