@@ -113,31 +113,51 @@ def _gemm_call(NB, ND, B, K, T, op, combine, interpret):
 
 # ---------------------------------------------------------------------------
 # Factorization MEGA-KERNEL: the ENTIRE supernodal numeric factorization as
-# ONE pallas_call. Motivation (measured, BASELINE.md round 4): on the
-# tunnel-attached v5e runtime every pallas_call launch costs ~2.5 ms and
-# every XLA gather/scatter-class op ~0.4 ms, so a ~120-step factorization
-# stream is dispatch-bound at ~380 ms regardless of FLOPs. This kernel runs
-# the whole level schedule as a single sequential grid (TPU grids execute in
-# order) over per-step opcodes:
+# ONE pallas_call with MANUALLY-ORCHESTRATED DMA. Motivation (measured,
+# BASELINE.md round 4): on the tunnel-attached v5e runtime every pallas_call
+# launch costs ~2.5 ms and every XLA gather/scatter-class op ~0.4 ms, so a
+# ~120-step factorization stream is dispatch-bound at ~380 ms regardless of
+# FLOPs. BlockSpec pipelines cannot express this kernel (in-grid writes are
+# not visible to later pipelined input fetches — verified on device, round
+# 4), so the block storage stays in HBM (memory_space=ANY) and the kernel
+# itself runs one fori_loop over the schedule, double-buffering the per-step
+# block DMAs (pltpu.make_async_copy + semaphores) against compute:
 #
-#   UPD  (0)  ext[dst] -= ext[s1] @ ext[s2]^T   (dst-sorted VMEM acc runs)
-#   CHOL (1)  ext[dst] = chol(ext[dst]);  Linv[dst] = L^{-1}
-#             (in-kernel unrolled column recurrence + row-recurrence
-#              triangular inverse — ~10 B vector ops on the (B, B) tile)
-#   TRSM (2)  ext[dst] = ext[dst] @ Linv[s1]^T
-#   NOP  (3)  ext[T] = ext[T] (copy-through on the trash block)
+#   UPD_FIRST (0)  acc  = ext[din] - ext[a1] @ ext[a2]^T   (run start)
+#   UPD_CONT  (1)  acc -=            ext[a1] @ ext[a2]^T
+#                  (each step flushes acc to ext[wd]; the host points wd at
+#                   the real destination on the LAST step of a dst-run and
+#                   at the trash slot otherwise)
+#   CHOL      (2)  ext[wd] = chol(ext[din]);  Linv[wd] = L^{-1}
+#                  (in-kernel unrolled column recurrence + row-recurrence
+#                   triangular inverse — _chol_inv_tile)
+#   TRSM      (3)  ext[wd] = ext[din] @ Linv[li]^T
+#   NOP       (4)  ext[T] = I (hazard spacer; also keeps the trash slot an
+#                  identity for the downstream stream-solve pads)
 #
-# Correctness under the software pipeline: input blocks for step i+1 are
-# DMA'd while step i computes, so a read must trail the write of the same
-# block by at least the pipeline depth. The host scheduler (supernodal.
-# _get_mega_sched) orders each level [upds | NOPs | chols | NOPs | trsms |
-# NOPs] — within a phase no block is both written and read — and the NOP
-# spacers (_MEGA_PAD >= pipeline depth) separate cross-phase dependencies.
-# Linv row n holds the identity; non-chol steps rewrite it with eye so pad
-# lanes stay exact no-ops.
+# Per-step traffic is UNIFORM — four block loads (unused operands point at
+# the zero/identity pad rows) and two block stores — so semaphore
+# accounting is static. The schedule rides in HBM as (n_win, 6, W) int32
+# and is itself DMA'd window-by-window into SMEM (double-buffered), so SMEM
+# never holds more than 2 windows regardless of schedule length.
+#
+# Hazard correctness under the 1-step lookahead pipeline: the input DMAs
+# for step i+1 are issued at the end of step i, AFTER step i's compute; a
+# write issued at step j is confirmed complete by the slot-reuse wait at
+# step j+2 (before anything at j+2 issues). Hence any read issued at step
+# i+1 only races writes of steps i and i+1 of the SAME block — which the
+# host scheduler excludes: phases within a level ([upds | NOPs | chols |
+# NOPs | trsms | NOPs]) never read a block written in the same phase, and
+# the _MEGA_PAD NOP spacers (>= 4 >> the required 3) separate cross-phase
+# dependencies. Within the UPD phase, dst-sorted runs accumulate in the
+# VMEM acc and only the run-end step stores to the real destination.
 # ---------------------------------------------------------------------------
 
-_MEGA_PAD = 8  # NOP spacer length between dependent phases
+_MEGA_PAD = 4     # NOP spacer length between dependent phases (>= 3 req'd)
+_MEGA_W = 1024    # schedule window length (steps per SMEM window DMA)
+
+# opcodes (host schedule builder: supernodal._get_mega_sched)
+OP_UPD_FIRST, OP_UPD_CONT, OP_CHOL, OP_TRSM, OP_NOP = range(5)
 
 
 def _chol_inv_tile(M, B):
@@ -180,101 +200,219 @@ def _chol_inv_tile(M, B):
 
 
 @functools.lru_cache(maxsize=None)
-def _mega_call(NE, NL, B, S, interpret):
-    """One factorization mega-kernel instance: NE ext blocks (incl. the Z/T
-    pad slots), NL = n + 1 Linv rows, B panel dim, S steps."""
+def _mega_call(NE, NL, B, n_win, W, interpret):
+    """One factorization mega-kernel instance: NE ext rows (incl. the
+    Z = NE-2 zero and T = NE-1 trash/identity pad slots), NL Linv rows
+    (identity at NL-2, trash at NL-1), B panel dim, n_win schedule windows
+    of W steps each."""
 
-    def kernel(op_idx, d_idx, s1_idx, s2_idx, li_idx, lo_idx,
-               a1_ref, a2_ref, din_ref, lin_ref, o_ref, lo_ref, acc_ref):
-        i = pl.program_id(0)
-        op = op_idx[i]
-        eyeB = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (B, B), 1),
-            1.0, 0.0).astype(jnp.float32)
+    LANE = 128
 
-        @pl.when(op == 0)  # UPD
-        def _():
-            @pl.when(jnp.logical_or(
-                i == 0, d_idx[i] != d_idx[jnp.maximum(i - 1, 0)]))
+    def kernel(sched_ref, ext_in, linv_in, ext_ref, linv_ref, sbuf,
+               a1b0, a2b0, din0, lin0, out0, lvo0,
+               a1b1, a2b1, din1, lin1, out1, lvo1,
+               acc, last_w, in_sem, out_sem, win_sem):
+        # ext_in/linv_in are the donated aliases of ext_ref/linv_ref; all
+        # reads and writes go through the OUTPUT refs (same buffers).
+        # Per-slot scratch is SEPARATE whole refs (never sliced), and the
+        # block storage is LANE-PADDED to (.., B, 128): Mosaic requires DMA
+        # memref slices to be tile-aligned — a lane-unaligned (B, B) slice
+        # is rejected — so blocks ride as (B, 128) tiles with zero pad
+        # lanes, and the inner loop is unrolled x2 so the pipeline slot is
+        # chosen statically.
+        del ext_in, linv_in
+        bufs = ((a1b0, a2b0, din0, lin0, out0, lvo0),
+                (a1b1, a2b1, din1, lin1, out1, lvo1))
+        T = NE - 1
+        LTRASH = NL - 1
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+        eyeP = jnp.where(rows == cols, 1.0, 0.0).astype(jnp.float32)
+
+        def padL(u):
+            """(B, B) result -> (B, 128) zero-padded tile."""
+            return jnp.concatenate(
+                [u, jnp.zeros((B, LANE - B), jnp.float32)], axis=1)
+
+        def win_dma(w, wslot):
+            return pltpu.make_async_copy(
+                sched_ref.at[w], sbuf.at[wslot], win_sem.at[wslot])
+
+        def in_dmas(wslot, t, slot):
+            a1b, a2b, dinb, linb, _, _ = bufs[slot]
+            return (
+                pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 1, t]],
+                                      a1b, in_sem.at[slot, 0]),
+                pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 2, t]],
+                                      a2b, in_sem.at[slot, 1]),
+                pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 3, t]],
+                                      dinb, in_sem.at[slot, 2]),
+                pltpu.make_async_copy(linv_ref.at[sbuf[wslot, 4, t]],
+                                      linb, in_sem.at[slot, 3]),
+            )
+
+        def start_loads(wslot, t, slot):
+            for d in in_dmas(wslot, t, slot):
+                d.start()
+
+        def out_dmas(slot, wd, wl):
+            outb, lvob = bufs[slot][4], bufs[slot][5]
+            return (
+                pltpu.make_async_copy(outb, ext_ref.at[wd],
+                                      out_sem.at[slot, 0]),
+                pltpu.make_async_copy(lvob, linv_ref.at[wl],
+                                      out_sem.at[slot, 1]),
+            )
+
+        # ---- warmup: window 0 + one dummy output DMA pair per slot, so
+        # the slot-reuse waits at steps 0/1 are balanced. The dummies copy
+        # whatever VMEM garbage is in the out buffers to the trash rows.
+        win_dma(0, 0).start()
+        for s in range(2):
+            last_w[s, 0] = T
+            last_w[s, 1] = LTRASH
+            for d in out_dmas(s, T, LTRASH):
+                d.start()
+
+        def step(wslot, t, slot):
+            """One schedule step; `slot` is a STATIC python int."""
+            a1b, a2b, dinb, linb, outb, lvob = bufs[slot]
+            op = sbuf[wslot, 0, t]
+            wd = sbuf[wslot, 5, t]
+            # 1. inputs for this step (started at t-1 / window entry)
+            for d in in_dmas(wslot, t, slot):
+                d.wait()
+            # 2. slot's previous output DMAs (step t-2) complete: the
+            # out buffers are reusable AND those writes are in HBM —
+            # this is what bounds the hazard distance at 3 steps
+            for d in out_dmas(slot, last_w[slot, 0], last_w[slot, 1]):
+                d.wait()
+
+            # 3. compute — pad lanes are zero on every stored tile, so
+            # contracting over the full 128 lanes is exact
+            @pl.when(op <= OP_UPD_CONT)
             def _():
-                acc_ref[...] = din_ref[0]
-            acc_ref[...] -= jax.lax.dot_general(
-                a1_ref[0], a2_ref[0], (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            o_ref[0] = acc_ref[...]
-            lo_ref[0] = eyeB
+                u = jax.lax.dot_general(
+                    a1b[...], a2b[...], (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )                                     # (B, B)
+                prev = jnp.where(op == OP_UPD_FIRST, dinb[...],
+                                 acc[...])[:, :B]
+                acc[...] = padL(prev - u)
+                outb[...] = acc[...]
 
-        @pl.when(op == 1)  # CHOL + inverse
-        def _():
-            L, X = _chol_inv_tile(din_ref[0], B)
-            o_ref[0] = L
-            lo_ref[0] = X
+            @pl.when(op == OP_CHOL)
+            def _():
+                L, X = _chol_inv_tile(dinb[...][:, :B], B)
+                outb[...] = padL(L)
+                lvob[...] = padL(X)
 
-        @pl.when(op == 2)  # TRSM against the inverse table
-        def _():
-            o_ref[0] = jax.lax.dot_general(
-                din_ref[0], lin_ref[0], (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            lo_ref[0] = eyeB
+            @pl.when(op == OP_TRSM)
+            def _():
+                outb[...] = padL(jax.lax.dot_general(
+                    dinb[...], linb[...], (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                ))
 
-        @pl.when(op == 3)  # NOP spacer
-        def _():
-            o_ref[0] = din_ref[0]
-            lo_ref[0] = eyeB
+            @pl.when(op == OP_NOP)
+            def _():
+                # keeps ext[T] an exact identity (stream-solve pads
+                # read it) and spaces cross-phase hazards
+                outb[...] = eyeP
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(S,),
-        in_specs=[
-            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
-                         (s1[i], 0, 0)),
-            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
-                         (s2[i], 0, 0)),
-            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
-                         (d[i], 0, 0)),
-            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
-                         (li[i], 0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
-                         (d[i], 0, 0)),
-            pl.BlockSpec((1, B, B), lambda i, op, d, s1, s2, li, lo:
-                         (lo[i], 0, 0)),
-        ),
-        scratch_shapes=[pltpu.VMEM((B, B), jnp.float32)],
-    )
+            # 4. write: ext[wd] always; Linv only meaningful for CHOL
+            # (everything else flushes stale lvob to the trash row)
+            wl = jnp.where(op == OP_CHOL, wd, LTRASH)
+            last_w[slot, 0] = wd
+            last_w[slot, 1] = wl
+            for d in out_dmas(slot, wd, wl):
+                d.start()
+
+            # 5. prefetch next step of this window (the next window's
+            # first step is prefetched by its outer iteration)
+            @pl.when(t + 1 < W)
+            def _():
+                start_loads(wslot, t + 1, 1 - slot)
+
+        def outer(w, c):
+            wslot = w % 2
+            win_dma(w, wslot).wait()
+
+            @pl.when(w + 1 < n_win)
+            def _():
+                win_dma(w + 1, (w + 1) % 2).start()
+
+            # prefetch the window's first step (slot parity is global:
+            # W is even, so slot (w*W + t) % 2 == t % 2)
+            start_loads(wslot, 0, 0)
+
+            def inner(u, c):
+                step(wslot, 2 * u, 0)
+                step(wslot, 2 * u + 1, 1)
+                return c
+
+            return jax.lax.fori_loop(0, W // 2, inner, c)
+
+        jax.lax.fori_loop(0, n_win, outer, 0)
+        # drain the final output DMA pair of each slot
+        for s in range(2):
+            for d in out_dmas(s, last_w[s, 0], last_w[s, 1]):
+                d.wait()
+
     out_shape = (
-        jax.ShapeDtypeStruct((NE, B, B), jnp.float32),
-        jax.ShapeDtypeStruct((NL, B, B), jnp.float32),
+        jax.ShapeDtypeStruct((NE, B, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((NL, B, LANE), jnp.float32),
     )
     return pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shape,
-        input_output_aliases={8: 0, 9: 1}, interpret=interpret,
+        kernel,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # schedule windows
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ext (donated)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Linv (donated)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=(
+            [pltpu.SMEM((2, 8, W), jnp.int32)]      # sched window buffers
+            # per-slot (a1, a2, din, lin, out_ext, out_linv) x 2 slots
+            + [pltpu.VMEM((B, 128), jnp.float32) for _ in range(12)]
+            + [
+                pltpu.VMEM((B, 128), jnp.float32),  # acc (UPD runs)
+                pltpu.SMEM((2, 2), jnp.int32),      # last write targets
+                pltpu.SemaphoreType.DMA((2, 4)),    # input slots
+                pltpu.SemaphoreType.DMA((2, 2)),    # output slots
+                pltpu.SemaphoreType.DMA((2,)),      # window slots
+            ]
+        ),
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )
 
 
 def factorize_mega(ext, Linv, sched, interpret: bool = False):
-    """Run the whole factorization stream in ONE launch.
+    """Run the whole numeric factorization in ONE pallas launch.
 
-    EXPERIMENTAL — currently produces stale reads on device (see the
-    SupernodalSolver._factorize_mega status note: BlockSpec-pipelined input
-    fetches do not observe in-grid writes; needs a manual-DMA rewrite).
-    Kept as groundwork; no production caller invokes it.
-
-    ext (NE, B, B) incl. Z/T pad slots; Linv (n+1, B, B) with identity at
-    row n; sched = (op, dst, s1, s2, linv_in, linv_out) int32 arrays of one
-    common length S (host-built, NOP-padded). Returns (ext, Linv)."""
-    op, d, s1, s2, li, lo = (jnp.asarray(x) for x in sched)
-    call = _mega_call(ext.shape[0], Linv.shape[0], ext.shape[-1],
-                      int(op.shape[0]), interpret)
-    # operands: 6 scalar-prefetch + [a1, a2, dstin, linv_in]; dstin (idx 8)
-    # and linv_in (idx 9) are input/output-aliased to the two outputs
-    return call(op, d, s1, s2, li, lo, ext, ext, ext, Linv)
+    ext (NE, B, B) incl. the Z/T pad slots; Linv (n+2, B, B) with the
+    identity at row n and a trash row at n+1; sched a host-built
+    (n_win, 8, W) int32 array of per-step rows (op, a1, a2, din, li, wd,
+    0, 0) (supernodal._get_mega_sched). Returns (ext, Linv) with
+    ext[T] = I. Internally the block storage is lane-padded to
+    (.., B, 128) — the DMA-sliceable tile shape — and sliced back."""
+    sched = jnp.asarray(sched)
+    n_win, eight, W = sched.shape
+    assert eight == 8 and W % 2 == 0
+    B = ext.shape[-1]
+    assert B % 8 == 0 and B <= 128, B
+    call = _mega_call(ext.shape[0], Linv.shape[0], B, n_win, W, interpret)
+    pad = ((0, 0), (0, 0), (0, 128 - B))
+    ext_p, linv_p = call(sched, jnp.pad(ext, pad), jnp.pad(Linv, pad))
+    return ext_p[:, :, :B], linv_p[:, :, :B]
 
 
 def gather_gemm(A, b_arr, dst_arr, a_idx, b_idx, d_idx, *, op: str,

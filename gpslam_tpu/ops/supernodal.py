@@ -656,81 +656,102 @@ class SupernodalSolver:
         return y[:-1]
 
     # ------------------------------------------------ factorization MEGA
-    def _get_mega_sched(self):
-        """Flat per-step schedule for the single-launch factorization
-        kernel (ops/pallas_supernodal.factorize_mega): six parallel int32
-        arrays (op, dst, s1, s2, linv_in, linv_out). Level layout
-        [UPD* | NOP pad | CHOL* | NOP pad | TRSM* | NOP pad] — the NOP
-        spacers keep every cross-phase read at least _MEGA_PAD grid steps
-        behind the write it depends on (the software pipeline prefetches
-        inputs ~2 steps ahead). UPD rows are dst-sorted per level (diag ids
-        < off ids, so diagonal-destined updates land first — maximizing the
-        write->chol-read distance for free)."""
-        if getattr(self, "_mega_sched", None) is not None:
-            return self._mega_sched
+    def _get_mega_sched(self, W: int = None):
+        """Host schedule for the single-launch manual-DMA factorization
+        kernel (ops/pallas_supernodal.factorize_mega): an (n_win, 6, W)
+        int32 array of per-step rows (op, a1, a2, din, li, wd) — the four
+        load indices (unused ones point at the Z zero row / Linv identity
+        row) and the ext write target. Level layout [UPD* | NOP pad |
+        CHOL* | NOP pad | TRSM* | NOP pad]: within a phase no block is
+        both written and read, and the NOP spacers keep every cross-phase
+        read >= _MEGA_PAD steps behind the write it depends on (the
+        kernel's 1-step-lookahead DMA pipeline needs >= 3). UPD rows are
+        dst-sorted per level; the host bakes run structure into the
+        opcodes (UPD_FIRST loads the destination, the run-END step writes
+        it — mid-run steps write the trash slot)."""
         from . import pallas_supernodal as psn
 
-        Z, T, TY = self.n_blocks, self.n_blocks + 1, self.n
+        if W is None:
+            W = psn._MEGA_W
+        if getattr(self, "_mega_sched", None) is not None \
+                and self._mega_sched.shape[-1] == W:
+            return self._mega_sched
+
+        Z, T = self.n_blocks, self.n_blocks + 1  # ext pad rows
+        LID = self.n                              # Linv identity row
         PAD = psn._MEGA_PAD
-        op, d, s1, s2, li, lo = [], [], [], [], [], []
+        NOP_ROW = (psn.OP_NOP, Z, Z, Z, LID, T)
+        rows: list = []
 
         def nop(k=PAD):
-            for _ in range(k):
-                op.append(3); d.append(T); s1.append(Z); s2.append(Z)
-                li.append(TY); lo.append(TY)
+            rows.extend([NOP_ROW] * k)
 
         for (u_dst, u_s1, u_s2), (cols, offs, offs_diag) in zip(
             self.upd_sched, self.col_sched
         ):
             if len(u_dst):
                 order = np.argsort(u_dst, kind="stable")
-                op.extend([0] * len(u_dst))
-                d.extend(u_dst[order]); s1.extend(u_s1[order])
-                s2.extend(u_s2[order])
-                li.extend([TY] * len(u_dst)); lo.extend([TY] * len(u_dst))
+                d = u_dst[order]
+                s1 = u_s1[order]
+                s2 = u_s2[order]
+                m = len(d)
+                for i in range(m):
+                    first = i == 0 or d[i] != d[i - 1]
+                    last = i == m - 1 or d[i] != d[i + 1]
+                    rows.append((
+                        psn.OP_UPD_FIRST if first else psn.OP_UPD_CONT,
+                        s1[i], s2[i], d[i] if first else Z, LID,
+                        d[i] if last else T,
+                    ))
                 nop()
             if len(cols):
-                op.extend([1] * len(cols))
-                d.extend(cols); s1.extend([Z] * len(cols))
-                s2.extend([Z] * len(cols))
-                li.extend([TY] * len(cols)); lo.extend(cols)
+                for c in cols:
+                    rows.append((psn.OP_CHOL, Z, Z, c, LID, c))
                 nop()
             if len(offs):
-                op.extend([2] * len(offs))
-                d.extend(offs); s1.extend([Z] * len(offs))
-                s2.extend([Z] * len(offs))
-                li.extend(offs_diag); lo.extend([TY] * len(offs))
+                for o, od in zip(offs, offs_diag):
+                    rows.append((psn.OP_TRSM, Z, Z, o, od, o))
                 nop()
-        self._mega_sched = tuple(
-            np.asarray(x, np.int32) for x in (op, d, s1, s2, li, lo)
+        # pad to whole windows (trailing NOPs also leave ext[T] = I)
+        nop(max(PAD, (-len(rows)) % W))
+        if len(rows) % W:
+            nop(W - len(rows) % W)
+        arr = np.asarray(rows, np.int32).reshape(-1, W, 6)
+        arr = arr.transpose(0, 2, 1)                    # (n_win, 6, W)
+        # row dim padded 6 -> 8: Mosaic requires slices of the window axis
+        # to be 8-aligned on the second-to-last dim
+        arr = np.concatenate(
+            [arr, np.zeros((arr.shape[0], 2, W), np.int32)], 1
         )
+        self._mega_sched = np.ascontiguousarray(arr)
         return self._mega_sched
 
     def _factorize_mega(self, blocks):
         """ONE pallas launch for the whole numeric factorization — the
         dispatch-latency end-game on this backend (each launch ~2.5 ms,
-        each XLA stream op ~0.4 ms; a ~45k-step sequential grid pays the
-        launch cost once). Returns (ext incl. pad slots, Linv)."""
+        each XLA stream op ~0.4 ms; paying the launch cost once makes the
+        ~45k-step schedule compute-bound instead of dispatch-bound).
+        Returns (ext incl. pad slots [ext[T] = I], Linv (n+2, b, b))."""
         from . import pallas_supernodal as psn
 
         if blocks.dtype != jnp.float32:
             raise ValueError("mega mode is f32-only")
-        # STATUS (round 4, measured on v5e): the single-launch design is
-        # blocked by pallas BlockSpec pipeline semantics — in-grid writes
-        # are NOT visible to later input fetches. Verified two ways on
-        # device: (a) non-donated operands of an aliased array read a stale
-        # COPY for the whole grid (XLA copies them when another operand is
-        # donated), and (b) even the ALIASED operand's fetch for step i+1
-        # is prefetched before step i's output flushes. Making this kernel
-        # correct requires manually-orchestrated DMA (memory_space=ANY +
-        # make_async_copy + semaphore waits, double-buffered with the NOP
-        # spacing bounding the lookahead) — the schedule builder, the
-        # in-kernel chol+inverse, and the hazard-spaced instruction layout
-        # here are the working groundwork. Until the manual-DMA kernel
-        # lands, every caller routes to the per-chunk gather-GEMM stream
-        # (identical math, one launch per chunk).
-        ext, Linv = self._factorize_pallas_stream(blocks)
-        return ext, Linv
+        b, n = self.b, self.n
+        interp = jax.default_backend() != "tpu"
+        eye = jnp.eye(b, dtype=jnp.float32)
+        pad = jnp.stack([jnp.zeros((b, b), jnp.float32), eye])
+        ext = jnp.concatenate([blocks, pad], 0)
+        # Linv rows: [0..n) panel inverses, n identity (solve pads read
+        # it), n+1 trash (the kernel's non-CHOL Linv writes land here)
+        Linv = jnp.concatenate(
+            [jnp.zeros((n, b, b), jnp.float32), eye[None],
+             jnp.zeros((1, b, b), jnp.float32)], 0
+        )
+        if not any(len(u[0]) or len(c[0]) for u, c in
+                   zip(self.upd_sched, self.col_sched)):
+            return ext, Linv  # fully-dense tail: nothing streamed
+        sched = self._get_mega_sched(getattr(self, "_mega_W", None))
+        return psn.factorize_mega(ext, Linv, sched, interpret=interp)
 
     # -------------------------------------- pallas_stream gather-GEMM mode
     def _factorize_pallas_stream(self, blocks):
