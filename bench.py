@@ -150,22 +150,23 @@ def bench_scale_100k():
     return row
 
 
-def bench_scale_lc(n_states=10_000):
-    """General-sparse (loop-closure) path on device — VERDICT r3 item 1b.
+def bench_scale_lc(n_states=10_000, compare_stream=True,
+                   with_marginals=False):
+    """General-sparse (loop-closure) path on device — VERDICT r4 items
+    1/2/4/5.
 
     A >=10k-state SE(2) pose graph with loop closures CANNOT use the chain
-    solver; it exercises the supernodal path (nd ordering, w_max=8
-    amalgamated panels, dense top-of-tree). Times the full LM AND the
-    numeric factorization alone in BOTH large-graph modes:
-      pallas_stream  the chunked instruction stream with gather-GEMM pallas
-                     step kernels (ops/pallas_supernodal.py) — what
-                     auto_solver dispatches on TPU/f32; compile O(1) in
-                     levels (the fully-unrolled "pallas" mode measured 40+
-                     min of compile at this scale and is not benched)
-      stream         the same stream with XLA step bodies (the fallback)
-    against the f64 SuperLU CPU reference on the same graph
-    (bench/run_cpu_reference_lc.py). Reports ms, factorization GFLOP/s and
-    the pallas-vs-stream device ratio; asserts chi^2 parity between modes.
+    solver; it exercises the supernodal path. Times the SHIPPED
+    configuration — the exact solver object auto_supernodal constructs
+    (mode="mega" on TPU/f32: the single-launch manual-DMA factorization +
+    solve kernels; asserted equal to the auto_solver dispatch string) —
+    against the XLA "stream" fallback on the same graph and the f64
+    SuperLU CPU reference (bench/run_cpu_reference_lc.py). Reports the
+    full-LM wall, a per-stage split (linearize / assemble / factorize /
+    solve, fori-amortized so the ~22 ms dispatch RTT cancels), compile
+    seconds, and chi^2 parity between modes. with_marginals adds a
+    selected-inverse-at-scale timing (ALL per-variable covariances off the
+    shipped factor — SURVEY §2.2 S12 at scale).
     """
     import io
     from contextlib import redirect_stdout
@@ -176,7 +177,7 @@ def bench_scale_lc(n_states=10_000):
     from gpslam_tpu.models import pose2_slam
     from gpslam_tpu.ops.amalgamated import AmalgamatedSupernodalSolver
     from gpslam_tpu.solve import lm_solve
-    from gpslam_tpu.solve.auto import auto_solver
+    from gpslam_tpu.solve.auto import auto_solver, auto_supernodal
 
     data = synthetic.make_se2_pose_graph(n_states=n_states, seed=4)
     graph, values = pose2_slam.build(data, dtype=jnp.float32)
@@ -189,77 +190,126 @@ def bench_scale_lc(n_states=10_000):
         auto_solver(graph, values, verbose=True)
     row["auto_dispatch"] = buf.getvalue().strip()
 
+    # the timed solver IS the dispatched configuration (r4 weak 3): the
+    # same constructor auto_solver uses, asserted against its own verbose
+    # dispatch line
+    sn_auto = auto_supernodal(graph, values)
+    row["benched_config"] = {
+        "mode": sn_auto._mode, "w_max": sn_auto.w_max,
+        "dense_tail": sn_auto.n_tail, "b_panel": sn_auto.b,
+        "levels": len(sn_auto.levels),
+    }
+    row["benched_equals_dispatched"] = (
+        f"mode={sn_auto._mode}" in row["auto_dispatch"]
+        and f"dense_tail={sn_auto.n_tail} panels" in row["auto_dispatch"]
+    )
+
     cfg = LMConfig(max_iterations=30)
     lins = graphlib.linearize(graph, values)
-    chi2 = {}
-    for mode in ("pallas_stream", "stream"):
-        if mode == "pallas_stream" and jax.default_backend() == "cpu":
-            continue  # interpret-mode timing is meaningless
-        sn = AmalgamatedSupernodalSolver(
-            graph, values, ordering="nd", w_max=8, mode=mode, dense_tail=64
+    solvers = {f"auto_{sn_auto._mode}": sn_auto}
+    if compare_stream and sn_auto._mode != "stream":
+        solvers["stream"] = AmalgamatedSupernodalSolver(
+            graph, values, ordering="nd", w_max=sn_auto.w_max,
+            mode="stream", dense_tail=sn_auto.n_tail,
         )
-        # full LM wall-clock
+
+    def amortized(f, args, reps=8):
+        @jax.jit
+        def loop(args):
+            def body(i, acc):
+                out = f(*args)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return acc + jnp.asarray(leaf).reshape(-1)[0] * 1e-20
+            return jax.lax.fori_loop(0, reps, body,
+                                     jnp.zeros((), jnp.float32))
+        t0 = time.perf_counter()
+        float(loop(args))
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(args))
+            best = min(best, time.perf_counter() - t0)
+        return best / reps, compile_s
+
+    chi2 = {}
+    for tag, sn in solvers.items():
         f = jax.jit(lambda g, v, s=sn.solver: lm_solve(g, v, cfg, solver=s))
+        t0 = time.perf_counter()
         vals, st = f(graph, values)
         float(st.error)
+        lm_compile_s = time.perf_counter() - t0
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             vals, st = f(graph, values)
             float(st.error)
             best = min(best, time.perf_counter() - t0)
-        chi2[mode] = float(st.error)
-        # factorization-only, fori-amortized (removes the dispatch RTT)
-        blocks, _ = sn.assemble(graph, lins, values, jnp.float32(1e-2))
-
-        @jax.jit
-        def fact_loop(blocks, sn=sn, reps=8):
-            def body(i, acc):
-                L = sn.factorize(blocks)
-                leaf = jax.tree_util.tree_leaves(L)[0]
-                return acc + leaf.reshape(-1)[0] * 1e-20
-
-            return jax.lax.fori_loop(0, reps, body,
-                                     jnp.zeros((), jnp.float32))
-
-        float(fact_loop(blocks))
-        tf_best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(fact_loop(blocks))
-            tf_best = min(tf_best, time.perf_counter() - t0)
-        t_fact = tf_best / 8
+        chi2[tag] = float(st.error)
+        # per-stage split, fori-amortized (r4 item 2)
+        lam = jnp.float32(1e-2)
+        t_lin, _ = amortized(lambda g, v: graphlib.linearize(g, v),
+                             (graph, values), reps=4)
+        t_asm, _ = amortized(lambda g, l, v: sn.assemble(g, l, v, lam),
+                             (graph, lins, values), reps=4)
+        blocks, g_vec = sn.assemble(graph, lins, values, lam)
+        blocks, g_vec = jax.device_put((blocks, g_vec))
+        t_fact, fact_compile_s = amortized(sn.factorize, (blocks,))
+        L = jax.jit(sn.factorize)(blocks)
+        t_solve, solve_compile_s = amortized(
+            lambda L_, g_: sn.solve_factored(L_, g_), (L, -g_vec))
         B = sn.b
         n_upd = sum(len(u[0]) for u in sn.upd_sched)
         n_trsm = sum(len(c[1]) for c in sn.col_sched)
         n_chol = sum(len(c[0]) for c in sn.col_sched)
         flops = (2 * n_upd * B**3 + n_trsm * B**3 + n_chol * B**3 / 3
                  + (sn.n_tail * B) ** 3 / 3)
-        row[mode] = {
+        row[tag] = {
             "lm_wall_s": round(best, 4),
             "iterations": int(st.iterations),
-            "chi2_final": chi2[mode],
+            "chi2_final": chi2[tag],
             "converged": bool(st.converged),
-            "factorize_ms_amortized": round(t_fact * 1e3, 3),
+            "stage_ms_amortized": {
+                "linearize": round(t_lin * 1e3, 3),
+                "assemble": round(t_asm * 1e3, 3),
+                "factorize": round(t_fact * 1e3, 3),
+                "solve": round(t_solve * 1e3, 3),
+            },
             "factorize_gflops": round(flops / t_fact / 1e9, 1),
-            "levels": len(sn.levels),
+            "compile_s": {"lm": round(lm_compile_s, 1),
+                          "factorize": round(fact_compile_s, 1),
+                          "solve": round(solve_compile_s, 1)},
         }
-    if "pallas_stream" in row and "stream" in row:
-        row["pallas_vs_stream_lm"] = round(
-            row["stream"]["lm_wall_s"] / row["pallas_stream"]["lm_wall_s"], 2)
-        row["pallas_vs_stream_factorize"] = round(
-            row["stream"]["factorize_ms_amortized"]
-            / row["pallas_stream"]["factorize_ms_amortized"], 2)
-        # §5.2 sanitizer: the compiled pallas kernels must agree with the
+    tags = list(solvers)
+    if len(tags) == 2:
+        a, b = tags
+        row["auto_vs_stream_lm"] = round(
+            row[b]["lm_wall_s"] / row[a]["lm_wall_s"], 2)
+        row["auto_vs_stream_factorize"] = round(
+            row[b]["stage_ms_amortized"]["factorize"]
+            / row[a]["stage_ms_amortized"]["factorize"], 2)
+        # §5.2 sanitizer: the compiled mega kernels must agree with the
         # stream path on the full nonlinear solve
-        rel = abs(chi2["pallas_stream"] - chi2["stream"]) / max(chi2["stream"], 1.0)
-        row["chi2_rel_diff_pallas_vs_stream"] = float(f"{rel:.2e}")
+        rel = abs(chi2[a] - chi2[b]) / max(abs(chi2[b]), 1.0)
+        row["chi2_rel_diff_auto_vs_stream"] = float(f"{rel:.2e}")
         row["parity_ok"] = bool(rel < 1e-3)
-    cpu_ref = _run_subprocess_json("run_cpu_reference_lc.py", n_states, 600)
+    if with_marginals:
+        # selected inverse at scale: every per-variable covariance off the
+        # shipped factor (S12 perf row beyond the 600-state microbench)
+        def marg(blocks):
+            S = sn_auto.selected_inverse(sn_auto.factorize(blocks))
+            return sn_auto.diag_marginals(S, graph)
+
+        blocks, _ = sn_auto.assemble(graph, lins, values, jnp.float32(1e-2))
+        t_marg, marg_compile_s = amortized(marg, (jax.device_put(blocks),),
+                                           reps=2)
+        row["selected_inverse_all_marginals_ms"] = round(t_marg * 1e3, 2)
+        row["selected_inverse_compile_s"] = round(marg_compile_s, 1)
+    cpu_ref = _run_subprocess_json("run_cpu_reference_lc.py", n_states, 900)
     if cpu_ref:
         row["cpu_superlu_s"] = round(cpu_ref["wall_s"], 3)
         row["cpu_superlu_chi2"] = cpu_ref["chi2"]
-        dev = row.get("pallas_stream") or row.get("stream")
+        dev = row.get(tags[0])
         if dev:
             row["vs_baseline"] = round(cpu_ref["wall_s"] / dev["lm_wall_s"], 2)
     return row
@@ -309,15 +359,26 @@ def bench_bcr_1m(b=4, k=1):
     #   that ignored the de/interleave round-trips and backsub reads — that,
     #   not kernel headroom, was the "41% of roofline" anomaly.)
     set0_bytes = 4 * n * (2 * b * b + b * k)
-    t_dev_est = max(t_fused - 0.022, 1e-4)
+    # RTT sanitization (VERDICT r4 weak 4): the wall includes a dispatch+
+    # fetch RTT measured between ~15 and ~30 ms run-to-run; subtracting a
+    # point estimate from a ~27 ms wall yields a noise-dominated device
+    # time, so report a RANGE and clamp the implied bandwidth at the
+    # physical 242 GB/s roofline instead of printing impossible numbers.
+    t_dev_lo = max(t_fused - 0.030, 1e-4)
+    t_dev_hi = max(t_fused - 0.015, 1e-4)
+    gbps = lambda t: 9.5 * set0_bytes / t / 1e9  # noqa: E731
     row = {
         "n_states": n, "block_dim": b,
         "fused_pallas_s": round(t_fused, 4),
         "xla_s": round(t_xla, 4),
         "fused_vs_xla": round(t_xla / t_fused, 2),
-        "device_time_est_s": round(t_dev_est, 4),
-        "effective_gbps_vs_242_roofline": round(
-            9.5 * set0_bytes / t_dev_est / 1e9, 1),
+        "device_time_est_range_s": [round(t_dev_lo, 4), round(t_dev_hi, 4)],
+        "effective_gbps_range_vs_242_roofline": [
+            round(min(gbps(t_dev_hi), 242.0), 1),
+            round(min(gbps(t_dev_lo), 242.0), 1),
+        ],
+        "roofline_note": "device time = wall minus a 15-30 ms RTT band; "
+                         "values clamped at the 242 GB/s HBM roofline",
     }
     if jax.default_backend() != "cpu":
         try:
@@ -394,15 +455,23 @@ def main():
         t_ms = min(t_ms, time.perf_counter() - t0)
 
     # scale rows (round-2 verdict item 1; round-3 item 1b adds the
-    # loop-closure/general-sparse row): never let them sink the headline
+    # loop-closure/general-sparse row; round-4 item 4 the 50k row +
+    # selected-inverse-at-scale): never let them sink the headline
     try:
         scale_100k = bench_scale_100k()
     except Exception as e:  # pragma: no cover
         scale_100k = f"failed: {e!r}"
     try:
-        scale_lc = bench_scale_lc()
+        scale_lc = bench_scale_lc(10_000, with_marginals=True)
     except Exception as e:  # pragma: no cover
         scale_lc = f"failed: {e!r}"
+    try:
+        # 50k: where per-step work outgrows dispatch cost (r4 item 4);
+        # auto mode only — the stream comparison at this scale costs
+        # minutes of bench budget for a known-slower path
+        scale_lc_50k = bench_scale_lc(50_000, compare_stream=False)
+    except Exception as e:  # pragma: no cover
+        scale_lc_50k = f"failed: {e!r}"
     try:
         scale_1m = bench_bcr_1m()
     except Exception as e:  # pragma: no cover
@@ -417,7 +486,35 @@ def main():
         scale_c5 = f"failed: {e!r}"
 
     iters = int(stats.iterations)
-    evals_per_s = n_factors * max(iters, 1) * 2 / t_dev  # 2 linearize+error passes
+    # wall-derived evals/s (includes the ~22 ms RTT floor) — RENAMED from
+    # factor_evals_per_s (r4 weak 5: same key, different methodology read
+    # as a cross-round regression); the fori-amortized microbench below
+    # carries the r1 semantics under the original key
+    evals_per_s_wall = n_factors * max(iters, 1) * 2 / t_dev
+    try:
+        from gpslam_tpu.graph import graph as graphlib
+
+        lins0 = graphlib.linearize(graph, values)
+        probe = jax.tree_util.tree_leaves(lins0)[0]
+
+        @jax.jit
+        def lin_loop(graph, values, reps=16):
+            def body(i, acc):
+                lins = graphlib.linearize(graph, values)
+                leaf = jax.tree_util.tree_leaves(lins)[0]
+                return acc + leaf.reshape(-1)[0] * 1e-20
+            return jax.lax.fori_loop(0, reps, body,
+                                     jnp.zeros((), probe.dtype))
+
+        float(lin_loop(graph, values))
+        t_lin = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(lin_loop(graph, values))
+            t_lin = min(t_lin, time.perf_counter() - t0)
+        evals_per_s_amortized = n_factors * 16 / t_lin
+    except Exception:  # pragma: no cover
+        evals_per_s_amortized = None
     t_ref = cpu_ref["wall_s"] if cpu_ref else t_cpu
     plaza1_row = {
         "n_states": 9700,
@@ -440,8 +537,16 @@ def main():
         ),
         "jax_cpu_same_code_s": round(t_cpu, 4),
         "vs_jax_cpu": round(t_cpu / t_dev, 3),
-        "device_time_est_ms": round(max(t_dev * 1e3 - 22.0, 0.0), 1),
-        "factor_evals_per_s": int(evals_per_s),
+        # wall minus a 15-30 ms RTT band (see scale_1m_bcr note): row-to-row
+        # drift of the WALL number at this scale is RTT noise, not device
+        # regression (r3 41.2 ms -> r4 46.8 ms was exactly this)
+        "device_time_est_range_ms": [
+            round(max(t_dev * 1e3 - 30.0, 0.0), 1),
+            round(max(t_dev * 1e3 - 15.0, 0.0), 1),
+        ],
+        "factor_evals_per_s_wall": int(evals_per_s_wall),
+        "factor_evals_per_s": (int(evals_per_s_amortized)
+                               if evals_per_s_amortized else None),
     }
 
     # headline (VERDICT r3 item 7): the chip-decisive 100k-state row — the
@@ -473,6 +578,7 @@ def main():
             "per_solve_ms_amortized": round(1e3 * t_ms / S, 2),
             "scale_100k": scale_100k,
             "scale_lc_10k": scale_lc,
+            "scale_lc_50k": scale_lc_50k,
             "scale_1m_bcr": scale_1m,
             "scale_config5_100k_steps": scale_c5,
         },

@@ -156,8 +156,16 @@ def _gemm_call(NB, ND, B, K, T, op, combine, interpret):
 _MEGA_PAD = 4     # NOP spacer length between dependent phases (>= 3 req'd)
 _MEGA_W = 1024    # schedule window length (steps per SMEM window DMA)
 
-# opcodes (host schedule builder: supernodal._get_mega_sched)
-OP_UPD_FIRST, OP_UPD_CONT, OP_CHOL, OP_TRSM, OP_NOP = range(5)
+# opcodes (host schedule builder: supernodal._get_mega_sched). The panel
+# Cholesky+inverse is a ~48-deep SERIAL recurrence and therefore
+# LATENCY-bound (~15 us/panel however formulated — masked, static-slice and
+# Newton-Schulz variants all tie); computing FOUR independent panels in one
+# step lets Mosaic interleave the chains (measured 8.8 us/panel). A quad is
+# five schedule steps: PRE stages 3 panels from the uniform loads into VMEM
+# stash, MAIN loads the 4th and runs all four recurrences, STASH1-3 flush
+# the stashed results through the normal per-step write path.
+(OP_UPD_FIRST, OP_UPD_CONT, OP_TRSM, OP_NOP,
+ OP_CHOL4_PRE, OP_CHOL4_MAIN, OP_STASH1, OP_STASH2, OP_STASH3) = range(9)
 
 
 def _chol_inv_tile(M, B):
@@ -211,7 +219,8 @@ def _mega_call(NE, NL, B, n_win, W, interpret):
     def kernel(sched_ref, ext_in, linv_in, ext_ref, linv_ref, sbuf,
                a1b0, a2b0, din0, lin0, out0, lvo0,
                a1b1, a2b1, din1, lin1, out1, lvo1,
-               acc, last_w, in_sem, out_sem, win_sem):
+               acc, stA, stB, stC, sx1, sx2, sx3,
+               last_w, in_sem, out_sem, win_sem):
         # ext_in/linv_in are the donated aliases of ext_ref/linv_ref; all
         # reads and writes go through the OUTPUT refs (same buffers).
         # Per-slot scratch is SEPARATE whole refs (never sliced), and the
@@ -302,12 +311,6 @@ def _mega_call(NE, NL, B, n_win, W, interpret):
                 acc[...] = padL(prev - u)
                 outb[...] = acc[...]
 
-            @pl.when(op == OP_CHOL)
-            def _():
-                L, X = _chol_inv_tile(dinb[...][:, :B], B)
-                outb[...] = padL(L)
-                lvob[...] = padL(X)
-
             @pl.when(op == OP_TRSM)
             def _():
                 outb[...] = padL(jax.lax.dot_general(
@@ -322,9 +325,51 @@ def _mega_call(NE, NL, B, n_win, W, interpret):
                 # read it) and spaces cross-phase hazards
                 outb[...] = eyeP
 
-            # 4. write: ext[wd] always; Linv only meaningful for CHOL
-            # (everything else flushes stale lvob to the trash row)
-            wl = jnp.where(op == OP_CHOL, wd, LTRASH)
+            @pl.when(op == OP_CHOL4_PRE)
+            def _():
+                # stage 3 panels for the quad's MAIN step
+                stA[...] = a1b[...]
+                stB[...] = a2b[...]
+                stC[...] = dinb[...]
+                outb[...] = eyeP    # write target is the trash slot
+
+            @pl.when(op == OP_CHOL4_MAIN)
+            def _():
+                # four INDEPENDENT chol+inverse recurrences in one trace:
+                # each is a serial latency-bound chain, so the scheduler
+                # interleaves them (~2x panel throughput, measured)
+                L1, X1 = _chol_inv_tile(stA[...][:, :B], B)
+                L2, X2 = _chol_inv_tile(stB[...][:, :B], B)
+                L3, X3 = _chol_inv_tile(stC[...][:, :B], B)
+                L4, X4 = _chol_inv_tile(dinb[...][:, :B], B)
+                stA[...] = padL(L1)
+                sx1[...] = padL(X1)
+                stB[...] = padL(L2)
+                sx2[...] = padL(X2)
+                stC[...] = padL(L3)
+                sx3[...] = padL(X3)
+                outb[...] = padL(L4)
+                lvob[...] = padL(X4)
+
+            @pl.when(op == OP_STASH1)
+            def _():
+                outb[...] = stA[...]
+                lvob[...] = sx1[...]
+
+            @pl.when(op == OP_STASH2)
+            def _():
+                outb[...] = stB[...]
+                lvob[...] = sx2[...]
+
+            @pl.when(op == OP_STASH3)
+            def _():
+                outb[...] = stC[...]
+                lvob[...] = sx3[...]
+
+            # 4. write: ext[wd] always; Linv only meaningful for the
+            # chol-quad MAIN/STASH steps (everything else flushes stale
+            # lvob to the trash row)
+            wl = jnp.where(op >= OP_CHOL4_MAIN, wd, LTRASH)
             last_w[slot, 0] = wd
             last_w[slot, 1] = wl
             for d in out_dmas(slot, wd, wl):
@@ -381,8 +426,10 @@ def _mega_call(NE, NL, B, n_win, W, interpret):
             [pltpu.SMEM((2, 8, W), jnp.int32)]      # sched window buffers
             # per-slot (a1, a2, din, lin, out_ext, out_linv) x 2 slots
             + [pltpu.VMEM((B, 128), jnp.float32) for _ in range(12)]
+            + [pltpu.VMEM((B, 128), jnp.float32)]   # acc (UPD runs)
+            # chol-quad stash: L1-3 (reusing the PRE staging bufs) + X1-3
+            + [pltpu.VMEM((B, 128), jnp.float32) for _ in range(6)]
             + [
-                pltpu.VMEM((B, 128), jnp.float32),  # acc (UPD runs)
                 pltpu.SMEM((2, 2), jnp.int32),      # last write targets
                 pltpu.SemaphoreType.DMA((2, 4)),    # input slots
                 pltpu.SemaphoreType.DMA((2, 2)),    # output slots
@@ -411,8 +458,192 @@ def factorize_mega(ext, Linv, sched, interpret: bool = False):
     assert B % 8 == 0 and B <= 128, B
     call = _mega_call(ext.shape[0], Linv.shape[0], B, n_win, W, interpret)
     pad = ((0, 0), (0, 0), (0, 128 - B))
-    ext_p, linv_p = call(sched, jnp.pad(ext, pad), jnp.pad(Linv, pad))
-    return ext_p[:, :, :B], linv_p[:, :, :B]
+    # returns the LANE-PADDED factor — solve_mega consumes it directly;
+    # slice [..., :B] for the unpadded view
+    return call(sched, jnp.pad(ext, pad), jnp.pad(Linv, pad))
+
+
+# solve opcodes (host schedule builder: supernodal._get_mega_solve_sched)
+SOP_GEMV_FIRST, SOP_GEMV_CONT, SOP_DIAG, SOP_NOP = range(4)
+
+
+@functools.lru_cache(maxsize=None)
+def _mega_solve_call(NE, NL, NY, B, n_win, W, trans, interpret):
+    """Single-launch triangular-solve sweep (forward trans=False, backward
+    trans=True) over a mega-style opcode schedule. ext/Linv are the
+    LANE-PADDED (.., B, 128) factor arrays from factorize_mega (read-only);
+    y rides as (NY, 8, 128) row tiles (row i's vector at [i, 0, :B], trash
+    row at NY-1) and is input/output aliased. Same manual-DMA pipeline and
+    hazard discipline as the factorization kernel."""
+    LANE = 128
+
+    def kernel(sched_ref, ext_ref, linv_ref, y_in, y_ref, sbuf,
+               blk0, lbk0, src0, dst0, out0,
+               blk1, lbk1, src1, dst1, out1,
+               acc, last_w, in_sem, out_sem, win_sem):
+        del y_in
+        bufs = ((blk0, lbk0, src0, dst0, out0),
+                (blk1, lbk1, src1, dst1, out1))
+        TY = NY - 1
+
+        def win_dma(w, wslot):
+            return pltpu.make_async_copy(
+                sched_ref.at[w], sbuf.at[wslot], win_sem.at[wslot])
+
+        def in_dmas(wslot, t, slot):
+            blkb, lbkb, srcb, dstb, _ = bufs[slot]
+            return (
+                pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 1, t]],
+                                      blkb, in_sem.at[slot, 0]),
+                pltpu.make_async_copy(linv_ref.at[sbuf[wslot, 2, t]],
+                                      lbkb, in_sem.at[slot, 1]),
+                pltpu.make_async_copy(y_ref.at[sbuf[wslot, 3, t]],
+                                      srcb, in_sem.at[slot, 2]),
+                pltpu.make_async_copy(y_ref.at[sbuf[wslot, 4, t]],
+                                      dstb, in_sem.at[slot, 3]),
+            )
+
+        def start_loads(wslot, t, slot):
+            for d in in_dmas(wslot, t, slot):
+                d.start()
+
+        def out_dma(slot, wd):
+            return pltpu.make_async_copy(bufs[slot][4], y_ref.at[wd],
+                                         out_sem.at[slot])
+
+        win_dma(0, 0).start()
+        for s in range(2):
+            last_w[s] = TY
+            out_dma(s, TY).start()
+
+        def pad_row(r):
+            """(1, B) or (1, 128) row -> (8, 128) tile (rows 1-7 zero)."""
+            if r.shape[1] < LANE:
+                r = jnp.concatenate(
+                    [r, jnp.zeros((1, LANE - r.shape[1]), jnp.float32)], 1)
+            return jnp.concatenate(
+                [r, jnp.zeros((7, LANE), jnp.float32)], 0)
+
+        def step(wslot, t, slot):
+            blkb, lbkb, srcb, dstb, outb = bufs[slot]
+            op = sbuf[wslot, 0, t]
+            wd = sbuf[wslot, 5, t]
+            for d in in_dmas(wslot, t, slot):
+                d.wait()
+            out_dma(slot, last_w[slot]).wait()
+
+            ysrc = srcb[0:1, :]                        # (1, 128)
+
+            def matvec(mat):
+                # row-vector forms avoid in-kernel transposes:
+                #   fwd: (M @ y)^T = y_row contract M's lane (col) index
+                #   bwd: (M^T @ y)^T = y_row[:, :B] contract M's sublane
+                if trans:
+                    return jax.lax.dot_general(
+                        ysrc[:, :B], mat, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )                                   # (1, 128)
+                r = jax.lax.dot_general(
+                    ysrc, mat, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )                                       # (1, B)
+                return jnp.concatenate(
+                    [r, jnp.zeros((1, LANE - B), jnp.float32)], 1)
+
+            @pl.when(op <= SOP_GEMV_CONT)
+            def _():
+                res = matvec(blkb[...])
+                base = jnp.where(op == SOP_GEMV_FIRST, dstb[0:1, :],
+                                 acc[0:1, :])
+                acc[...] = pad_row(base - res)
+                outb[...] = acc[...]
+
+            @pl.when(op == SOP_DIAG)
+            def _():
+                outb[...] = pad_row(matvec(lbkb[...]))
+
+            @pl.when(op == SOP_NOP)
+            def _():
+                outb[...] = jnp.zeros((8, LANE), jnp.float32)
+
+            last_w[slot] = wd
+            out_dma(slot, wd).start()
+
+            @pl.when(t + 1 < W)
+            def _():
+                start_loads(wslot, t + 1, 1 - slot)
+
+        def outer(w, c):
+            wslot = w % 2
+            win_dma(w, wslot).wait()
+
+            @pl.when(w + 1 < n_win)
+            def _():
+                win_dma(w + 1, (w + 1) % 2).start()
+
+            start_loads(wslot, 0, 0)
+
+            def inner(u, c):
+                step(wslot, 2 * u, 0)
+                step(wslot, 2 * u + 1, 1)
+                return c
+
+            return jax.lax.fori_loop(0, W // 2, inner, c)
+
+        jax.lax.fori_loop(0, n_win, outer, 0)
+        for s in range(2):
+            out_dma(s, last_w[s]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NY, 8, LANE), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # schedule windows
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ext (padded, RO)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Linv (padded, RO)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # y (donated)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=(
+            [pltpu.SMEM((2, 8, W), jnp.int32)]
+            # per-slot (blk, linv_blk, y_src, y_dst, out) x 2 slots
+            + [pltpu.VMEM((B, 128), jnp.float32),
+               pltpu.VMEM((B, 128), jnp.float32),
+               pltpu.VMEM((8, 128), jnp.float32),
+               pltpu.VMEM((8, 128), jnp.float32),
+               pltpu.VMEM((8, 128), jnp.float32)] * 2
+            + [
+                pltpu.VMEM((8, 128), jnp.float32),  # acc (gemv runs)
+                pltpu.SMEM((2,), jnp.int32),        # last write targets
+                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        ),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+def solve_mega(ext_p, Linv_p, y, sched, *, trans: bool,
+               interpret: bool = False):
+    """One triangular-solve sweep in ONE pallas launch.
+
+    ext_p/Linv_p: the lane-padded (.., B, 128) factor from factorize_mega
+    (pass-through, read-only). y: (NY, 8, 128) row tiles (trash row NY-1),
+    donated. sched: (n_win, 8, W) int32 rows (op, ext, linv, ysrc, ydst,
+    wd, 0, 0). trans=False runs the forward sweep (L y = r), trans=True
+    the backward (L^T x = y). Returns the updated y."""
+    sched = jnp.asarray(sched)
+    n_win, eight, W = sched.shape
+    assert eight == 8 and W % 2 == 0
+    B = ext_p.shape[-2]
+    call = _mega_solve_call(ext_p.shape[0], Linv_p.shape[0], y.shape[0],
+                            B, n_win, W, bool(trans), interpret)
+    return call(sched, ext_p, Linv_p, y)
 
 
 def gather_gemm(A, b_arr, dst_arr, a_idx, b_idx, d_idx, *, op: str,

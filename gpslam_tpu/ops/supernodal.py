@@ -257,6 +257,7 @@ class SupernodalSolver:
         self._stream = {}  # built lazily on first factorize, keyed by pallas
         self._pallas_sched = None
         self._mega_sched = None
+        self._mega_solve_sched = None
 
     def _build_numeric_schedules(self, struct, parent):
         """Per-level static schedules for the block factorization/solves.
@@ -705,8 +706,27 @@ class SupernodalSolver:
                     ))
                 nop()
             if len(cols):
-                for c in cols:
-                    rows.append((psn.OP_CHOL, Z, Z, c, LID, c))
+                # chol QUADS: PRE stages panels (c1..c3, T-pads first — the
+                # trash slot is a maintained identity, chol(I) = I exactly),
+                # MAIN loads c4 (always real) and runs the 4 interleaved
+                # recurrences, STASH1-3 flush the staged panels' results;
+                # pad positions flush as NOPs
+                cs = [int(c) for c in cols]
+                i = 0
+                while i < len(cs):
+                    grp = cs[i:i + 4]
+                    i += 4
+                    pads = 4 - len(grp)
+                    pre = ([T] * pads + grp[:-1])[:3]
+                    main = grp[-1]
+                    rows.append((psn.OP_CHOL4_PRE, pre[0], pre[1], pre[2],
+                                 LID, T))
+                    rows.append((psn.OP_CHOL4_MAIN, Z, Z, main, LID, main))
+                    for k, c in enumerate(pre):
+                        if c == T:
+                            rows.append(NOP_ROW)
+                        else:
+                            rows.append((psn.OP_STASH1 + k, Z, Z, Z, LID, c))
                 nop()
             if len(offs):
                 for o, od in zip(offs, offs_diag):
@@ -747,11 +767,105 @@ class SupernodalSolver:
             [jnp.zeros((n, b, b), jnp.float32), eye[None],
              jnp.zeros((1, b, b), jnp.float32)], 0
         )
+        pad = ((0, 0), (0, 0), (0, 128 - b))
         if not any(len(u[0]) or len(c[0]) for u, c in
                    zip(self.upd_sched, self.col_sched)):
-            return ext, Linv  # fully-dense tail: nothing streamed
+            # fully-dense tail: nothing streamed (keep the padded layout)
+            return jnp.pad(ext, pad), jnp.pad(Linv, pad)
         sched = self._get_mega_sched(getattr(self, "_mega_W", None))
         return psn.factorize_mega(ext, Linv, sched, interpret=interp)
+
+    # ------------------------------------------------------ solve MEGA
+    def _get_mega_solve_sched(self, W: int = None):
+        """Host schedules for the single-launch solve sweeps
+        (ops/pallas_supernodal.solve_mega): (fwd, bwd) arrays of shape
+        (n_win, 8, W) int32, rows (op, ext, linv, ysrc, ydst, wd, 0, 0).
+        Per level: [GEMV runs | NOP pad | DIAG | NOP pad] (bwd in reversed
+        level order). Same hazard discipline as the factorization schedule;
+        the row-vector y rides as (n+1, 8, 128) tiles with trash row n."""
+        from . import pallas_supernodal as psn
+
+        if W is None:
+            W = psn._MEGA_W
+        if getattr(self, "_mega_solve_sched", None) is not None \
+                and self._mega_solve_sched[0].shape[-1] == W:
+            return self._mega_solve_sched
+
+        Z = self.n_blocks        # ext zero row (unused operand target)
+        LID = self.n             # Linv identity row
+        TY = self.n              # y trash row
+        PAD = psn._MEGA_PAD
+        NOP_ROW = (psn.SOP_NOP, Z, LID, TY, TY, TY)
+
+        def build(level_iter, sched_of):
+            rows: list = []
+
+            def nop(k=PAD):
+                rows.extend([NOP_ROW] * k)
+
+            for li in level_iter:
+                dst, sblk, scol = sched_of(li)
+                if len(dst):
+                    order = np.argsort(dst, kind="stable")
+                    d, sb_, sc = dst[order], sblk[order], scol[order]
+                    m = len(d)
+                    for i in range(m):
+                        first = i == 0 or d[i] != d[i - 1]
+                        last = i == m - 1 or d[i] != d[i + 1]
+                        rows.append((
+                            psn.SOP_GEMV_FIRST if first
+                            else psn.SOP_GEMV_CONT,
+                            sb_[i], LID, sc[i], d[i] if first else TY,
+                            d[i] if last else TY,
+                        ))
+                    nop()
+                cols = self.col_sched[li][0]
+                if len(cols):
+                    for c in cols:
+                        rows.append((psn.SOP_DIAG, Z, c, c, TY, c))
+                    nop()
+            nop(max(PAD, (-len(rows)) % W))
+            if len(rows) % W:
+                nop(W - len(rows) % W)
+            arr = np.asarray(rows, np.int32).reshape(-1, W, 6)
+            arr = arr.transpose(0, 2, 1)
+            arr = np.concatenate(
+                [arr, np.zeros((arr.shape[0], 2, W), np.int32)], 1)
+            return np.ascontiguousarray(arr)
+
+        L = len(self.levels)
+        fwd = build(range(L), lambda li: self.fwd_sched[li])
+        bwd = build(reversed(range(L)), lambda li: self.bwd_sched[li])
+        self._mega_solve_sched = (fwd, bwd)
+        return self._mega_solve_sched
+
+    def _solve_mega(self, factor, rhs, L_tail=None):
+        """Forward/backward sweeps as ONE pallas launch each, against the
+        lane-padded mega factor; the dense tail solve runs between them in
+        XLA. rhs (n, b) -> x (n, b)."""
+        from . import pallas_supernodal as psn
+
+        ext_p, Linv_p = factor
+        interp = jax.default_backend() != "tpu"
+        n, b = self.n, self.b
+        W = getattr(self, "_mega_W", None)
+        fwd, bwd = self._get_mega_solve_sched(W)
+        have_stream = any(
+            len(f[0]) or len(c[0])
+            for f, c in zip(self.fwd_sched, self.col_sched)
+        )
+        y = jnp.zeros((n + 1, 8, 128), jnp.float32)
+        y = y.at[:n, 0, :b].set(rhs)
+        if have_stream:
+            y = psn.solve_mega(ext_p, Linv_p, y, fwd, trans=False,
+                               interpret=interp)
+        if L_tail is not None:
+            yv = self._tail_solve(y[:, 0, :b], L_tail)
+            y = y.at[:, 0, :b].set(yv)
+        if have_stream:
+            y = psn.solve_mega(ext_p, Linv_p, y, bwd, trans=True,
+                               interpret=interp)
+        return y[:n, 0, :b]
 
     # -------------------------------------- pallas_stream gather-GEMM mode
     def _factorize_pallas_stream(self, blocks):
@@ -1000,10 +1114,11 @@ class SupernodalSolver:
         MXU-shaped replacement for the deepest separator levels."""
         t_ids, t_ri, t_rj = self._tail_map
         nt, b = self.n_tail, self.b
+        gathered = blocks[jnp.asarray(t_ids)]
+        if gathered.shape[-1] != b:  # lane-padded mega factor
+            gathered = gathered[..., :b]
         M4 = jnp.zeros((nt, nt, b, b), blocks.dtype)
-        M4 = M4.at[jnp.asarray(t_ri), jnp.asarray(t_rj)].set(
-            blocks[jnp.asarray(t_ids)]
-        )
+        M4 = M4.at[jnp.asarray(t_ri), jnp.asarray(t_rj)].set(gathered)
         M = M4.transpose(0, 2, 1, 3).reshape(nt * b, nt * b)
         # blocks store the lower triangle (i >= j); mirror it
         M = jnp.tril(M) + jnp.tril(M, -1).T
@@ -1053,10 +1168,8 @@ class SupernodalSolver:
         if self._mode == "pallas_stream":
             return self._solve_pallas_stream(blocks, rhs, L_tail)
         if self._mode == "mega":
-            # the mega factor is (ext, Linv); the XLA stream solve consumes
-            # ext directly (solve steps are cheap relative to factorization
-            # — a mega-solve kernel is the next step if they ever dominate)
-            return self._solve_stream(blocks[0], rhs, L_tail)
+            # single-launch fwd/bwd sweeps against the lane-padded factor
+            return self._solve_mega(blocks, rhs, L_tail)
         if self._mode == "stream":
             return self._solve_stream(blocks, rhs, L_tail)
         return self._solve_unrolled(blocks, rhs, L_tail)
@@ -1175,8 +1288,10 @@ class SupernodalSolver:
         L_tail = None
         if self.n_tail:
             L, L_tail = L
-        if isinstance(L, tuple):  # pallas factor: (padded blocks, Linv)
+        if isinstance(L, tuple):  # pallas/mega factor: (ext, Linv)
             L = L[0][: self.n_blocks]
+            if L.shape[-1] != self.b:  # lane-padded mega factor
+                L = L[..., : self.b]
         S = jnp.zeros_like(L)
         if L_tail is not None:
             # seed every tail-pattern block of H^{-1} from the dense tail:

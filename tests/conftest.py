@@ -28,7 +28,7 @@ _SLOW_FILES = {
     "test_smoother_se2.py", "test_smoother_se3.py", "test_multihost.py",
     "test_time_shard.py", "test_time_shard_lm.py", "test_parallel.py",
     "test_pallas_chol.py", "test_rdma.py", "test_robust_dogleg_pcg.py",
-    "test_pallas_supernodal.py",
+    "test_pallas_supernodal.py", "test_mega.py",
     "test_solve_e2e.py", "test_pose3.py", "test_landmark_slam.py",
     "test_dense_tail.py",
 }

@@ -99,20 +99,24 @@ def test_extreme_fill_routes_to_pcg(monkeypatch):
     assert float(st.error) < float(st.error0)
 
 
-def test_large_loop_graph_on_tpu_routes_to_pallas(monkeypatch):
-    """On the TPU backend the large-graph exact path picks
-    mode=pallas_stream (gather-GEMM step kernels over the chunked
-    instruction stream) instead of the XLA stream (VERDICT r3 item 1a).
-    Dispatch decision only — compiled-kernel parity is covered by the
-    opt-in device test / bench."""
+def test_large_loop_graph_on_tpu_routes_to_mega(monkeypatch):
+    """On the TPU backend the large-graph exact path picks mode=mega — the
+    single-launch manual-DMA factorization + solve kernels (VERDICT r4
+    item 1) — instead of the XLA stream. Dispatch decision only;
+    compiled-kernel parity is covered by the opt-in device test / bench."""
     from gpslam_tpu.solve import auto as auto_mod
 
     data = synthetic.make_se2_pose_graph(n_states=1600, seed=4)
     graph, values = pose2_slam.build(data, dtype=jnp.float32)
     monkeypatch.setattr(auto_mod.jax, "default_backend", lambda: "tpu")
     solver, msg = _dispatch(graph, values)
-    assert "mode=pallas_stream" in msg, msg
+    assert "mode=mega" in msg, msg
     assert "ordering=nd" in msg, msg
+    # the bench times the object auto_supernodal returns — it must agree
+    # with the dispatched configuration (VERDICT r4 item 5)
+    sn = auto_mod.auto_supernodal(graph, values)
+    assert sn._mode == "mega" and sn.w_max == 8
+    assert f"dense_tail={sn.n_tail} panels" in msg, msg
 
 
 def test_large_loop_graph_f64_stays_on_stream(monkeypatch):

@@ -78,22 +78,25 @@ def test_mega_factorize_matches_unrolled(problem, dense_tail):
         t_rel = np.max(np.abs(np.asarray(Lt_m) - tu)) / (np.max(np.abs(tu))
                                                          + 1e-30)
         assert t_rel < 2e-3, t_rel
-    ext, Linv = L_m
-    a = np.asarray(L_u)
-    b = np.asarray(ext[: sn_m.n_blocks])
+    ext, Linv = L_m  # lane-padded (NE, B, 128)
     n, bdim = sn_m.n, sn_m.b
+    assert ext.shape[-1] == 128
+    a = np.asarray(L_u)
+    b = np.asarray(ext[: sn_m.n_blocks, :, :bdim])
     # the unrolled path leaves strictly-upper diag entries stale; compare
     # the lower triangles of diag blocks and full off blocks
     tril = np.tril(np.ones((bdim, bdim), bool))
     scale = np.max(np.abs(a)) + 1e-30
     assert np.max(np.abs((a[:n] - b[:n]) * tril)) / scale < 2e-5
     assert np.max(np.abs(a[n:] - b[n:])) / scale < 2e-5
-    # pad-slot invariants
+    # pad-slot invariants (incl. zero pad lanes everywhere they matter)
     np.testing.assert_allclose(np.asarray(ext[sn_m.n_blocks]), 0.0)
-    np.testing.assert_allclose(np.asarray(ext[sn_m.n_blocks + 1]),
-                               np.eye(bdim, dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(ext[sn_m.n_blocks + 1]),
+        np.eye(bdim, 128, dtype=np.float32))
     np.testing.assert_allclose(np.asarray(Linv[n]),
-                               np.eye(bdim, dtype=np.float32))
+                               np.eye(bdim, 128, dtype=np.float32))
+    assert np.all(np.asarray(ext[: sn_m.n_blocks, :, bdim:]) == 0)
 
 
 @pytest.mark.parametrize("dense_tail", [0, 2])
