@@ -468,7 +468,11 @@ def main():
     except Exception as e:  # pragma: no cover
         scale_100k = f"failed: {e!r}"
     try:
-        scale_lc = bench_scale_lc(10_000, with_marginals=True)
+        # with_marginals=False in the driver run: the selected-inverse XLA
+        # program at 10k states measured 1669 s of COMPILE for a 336 ms
+        # run (2026-08-22, v5e; recorded in BASELINE.md round 5) — the S12
+        # at-scale figure is ledgered, not re-measured per round
+        scale_lc = bench_scale_lc(10_000)
     except Exception as e:  # pragma: no cover
         scale_lc = f"failed: {e!r}"
     try:
