@@ -175,12 +175,16 @@ def _chol_inv_tile(M, B):
     a masked lane-reduction and its TRANSPOSE comes for free from the
     symmetry of the (maintained-symmetric) trailing submatrix — the outer
     product is a broadcast multiply of a (B, 1) column by a (1, B) row.
-    The inverse is a row recurrence: X[i, :] = (e_i - L[i, :i] X) / L[i, i],
-    one (1, B) x (B, B) dot per row. ~12*B vector ops total."""
+    The inverse rides IN the same loop: row j of X = L^{-1}
+    (X[j, :] = (e_j - L[j, :j] X) / L[j, j]) needs only L rows <= j, which
+    are final once column j is placed — fusing the two recurrences halves
+    the dependent-stage count vs running them back to back (the tile is
+    LATENCY-bound on its serial chain, so critical-path length, not op
+    count, is the cost; measured round 5)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
-    eyeB = jnp.where(rows == cols, 1.0, 0.0).astype(jnp.float32)
     L = jnp.zeros((B, B), jnp.float32)
+    X = jnp.zeros((B, B), jnp.float32)
     for j in range(B):
         d = jax.lax.rsqrt(
             jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0)))
@@ -191,19 +195,17 @@ def _chol_inv_tile(M, B):
         col_lo = jnp.where(rows[:, :1] >= j, col, 0.0)
         L = jnp.where(cols == j, col_lo, L)
         M = M - jnp.where((cols > j) & (rows > j), col * row, 0.0)
-    X = jnp.zeros((B, B), jnp.float32)
-    for i in range(B):
-        li = jnp.sum(jnp.where((rows == i) & (cols < i), L, 0.0),
-                     axis=0, keepdims=True)       # (1, B): L[i, :i]
+        # inverse row j: L[j, :j] is final in the L just written (d is
+        # 1 / L[j, j], so the division is a multiply by d)
+        lj = jnp.sum(jnp.where((rows == j) & (cols < j), L, 0.0),
+                     axis=0, keepdims=True)       # (1, B): L[j, :j]
         acc = jax.lax.dot_general(
-            li, X, (((1,), (0,)), ((), ())),
+            lj, X, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )                                          # (1, B)
-        dii = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0))
-        ei = jnp.where((rows[:1, :] == 0) & (cols[:1, :] == i), 1.0, 0.0)
-        xi = (ei - acc) / dii
-        X = jnp.where(rows == i, xi, X)
+        ej = jnp.where((rows[:1, :] == 0) & (cols[:1, :] == j), 1.0, 0.0)
+        X = jnp.where(rows == j, (ej - acc) * d, X)
     return L, X
 
 
@@ -248,21 +250,39 @@ def _mega_call(NE, NL, B, n_win, W, interpret):
                 sched_ref.at[w], sbuf.at[wslot], win_sem.at[wslot])
 
         def in_dmas(wslot, t, slot):
+            """Per-operand (predicate, dma) pairs for step t. Loads are
+            CONDITIONAL on the opcode (UPD needs a1/a2, TRSM needs
+            din+lin, ...): ~40% of the uniform 4-loads-per-step were
+            dead weight, and at 12 DMA-management ops per step the
+            pipeline baseline IS the step cost — the start and the wait
+            key off the same SMEM opcode, so semaphore accounting stays
+            exactly balanced."""
             a1b, a2b, dinb, linb, _, _ = bufs[slot]
+            op = sbuf[wslot, 0, t]
+            needs_a = jnp.logical_or(op <= OP_UPD_CONT, op == OP_CHOL4_PRE)
+            needs_din = ((op == OP_UPD_FIRST) | (op == OP_TRSM)
+                         | (op == OP_CHOL4_PRE) | (op == OP_CHOL4_MAIN))
+            needs_lin = op == OP_TRSM
             return (
-                pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 1, t]],
-                                      a1b, in_sem.at[slot, 0]),
-                pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 2, t]],
-                                      a2b, in_sem.at[slot, 1]),
-                pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 3, t]],
-                                      dinb, in_sem.at[slot, 2]),
-                pltpu.make_async_copy(linv_ref.at[sbuf[wslot, 4, t]],
-                                      linb, in_sem.at[slot, 3]),
+                (needs_a,
+                 pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 1, t]],
+                                       a1b, in_sem.at[slot, 0])),
+                (needs_a,
+                 pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 2, t]],
+                                       a2b, in_sem.at[slot, 1])),
+                (needs_din,
+                 pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 3, t]],
+                                       dinb, in_sem.at[slot, 2])),
+                (needs_lin,
+                 pltpu.make_async_copy(linv_ref.at[sbuf[wslot, 4, t]],
+                                       linb, in_sem.at[slot, 3])),
             )
 
         def start_loads(wslot, t, slot):
-            for d in in_dmas(wslot, t, slot):
-                d.start()
+            for pred, d in in_dmas(wslot, t, slot):
+                @pl.when(pred)
+                def _(d=d):
+                    d.start()
 
         def out_dmas(slot, wd, wl):
             outb, lvob = bufs[slot][4], bufs[slot][5]
@@ -288,9 +308,12 @@ def _mega_call(NE, NL, B, n_win, W, interpret):
             a1b, a2b, dinb, linb, outb, lvob = bufs[slot]
             op = sbuf[wslot, 0, t]
             wd = sbuf[wslot, 5, t]
-            # 1. inputs for this step (started at t-1 / window entry)
-            for d in in_dmas(wslot, t, slot):
-                d.wait()
+            # 1. inputs for this step (started at t-1 / window entry),
+            # waited under the same opcode predicates as the starts
+            for pred, d in in_dmas(wslot, t, slot):
+                @pl.when(pred)
+                def _(d=d):
+                    d.wait()
             # 2. slot's previous output DMAs (step t-2) complete: the
             # out buffers are reusable AND those writes are in HBM —
             # this is what bounds the hazard distance at 3 steps
