@@ -38,6 +38,10 @@ _TAIL_DIM = 1536  # target dense top-of-tree width (tangent dims)
 # the chain route is skipped so such graphs go to the supernodal path, which
 # stores only factor-adjacent blocks.
 _ARROWHEAD_BYTES_MAX = 2 << 30
+# mega-mode working set: lane-padded factor (n_blocks * b * 128 * 4 bytes)
+# + the unpadded assembly copy; beyond this budget auto downgrades to the
+# chunked stream (v5e HBM is 16 GB; leave room for the LM loop's arrays)
+_MEGA_PADDED_BYTES_MAX = 6 << 30
 
 
 def auto_supernodal(graph, values):
@@ -69,6 +73,13 @@ def auto_supernodal(graph, values):
         w_max=w_max, mode=mode, dense_tail=dense_tail,
     )
     sn._ordering = "nd" if large else "md"
+    if sn._mode == "mega":
+        # the mega kernels hold the factor LANE-PADDED to (.., b, 128)
+        # (128/b x the logical bytes) plus the unpadded assembly copy;
+        # downgrade to the stream when that working set would crowd HBM
+        padded_bytes = sn.n_blocks * sn.b * 128 * 4
+        if padded_bytes > _MEGA_PADDED_BYTES_MAX:
+            sn._set_mode("stream")
     return sn
 
 
