@@ -514,21 +514,34 @@ def _mega_solve_call(NE, NL, NY, B, n_win, W, trans, interpret):
                 sched_ref.at[w], sbuf.at[wslot], win_sem.at[wslot])
 
         def in_dmas(wslot, t, slot):
+            """Per-operand (predicate, dma) pairs — loads conditional on
+            the opcode (GEMV needs the ext block + y[src] (+ y[dst] at a
+            run start); DIAG needs the Linv block + y[src]); start and
+            wait key off the same SMEM opcode (see the factorization
+            kernel's note on balanced semaphore accounting)."""
             blkb, lbkb, srcb, dstb, _ = bufs[slot]
+            op = sbuf[wslot, 0, t]
+            is_gemv = op <= SOP_GEMV_CONT
             return (
-                pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 1, t]],
-                                      blkb, in_sem.at[slot, 0]),
-                pltpu.make_async_copy(linv_ref.at[sbuf[wslot, 2, t]],
-                                      lbkb, in_sem.at[slot, 1]),
-                pltpu.make_async_copy(y_ref.at[sbuf[wslot, 3, t]],
-                                      srcb, in_sem.at[slot, 2]),
-                pltpu.make_async_copy(y_ref.at[sbuf[wslot, 4, t]],
-                                      dstb, in_sem.at[slot, 3]),
+                (is_gemv,
+                 pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 1, t]],
+                                       blkb, in_sem.at[slot, 0])),
+                (op == SOP_DIAG,
+                 pltpu.make_async_copy(linv_ref.at[sbuf[wslot, 2, t]],
+                                       lbkb, in_sem.at[slot, 1])),
+                (op != SOP_NOP,
+                 pltpu.make_async_copy(y_ref.at[sbuf[wslot, 3, t]],
+                                       srcb, in_sem.at[slot, 2])),
+                (op == SOP_GEMV_FIRST,
+                 pltpu.make_async_copy(y_ref.at[sbuf[wslot, 4, t]],
+                                       dstb, in_sem.at[slot, 3])),
             )
 
         def start_loads(wslot, t, slot):
-            for d in in_dmas(wslot, t, slot):
-                d.start()
+            for pred, d in in_dmas(wslot, t, slot):
+                @pl.when(pred)
+                def _(d=d):
+                    d.start()
 
         def out_dma(slot, wd):
             return pltpu.make_async_copy(bufs[slot][4], y_ref.at[wd],
@@ -551,8 +564,10 @@ def _mega_solve_call(NE, NL, NY, B, n_win, W, trans, interpret):
             blkb, lbkb, srcb, dstb, outb = bufs[slot]
             op = sbuf[wslot, 0, t]
             wd = sbuf[wslot, 5, t]
-            for d in in_dmas(wslot, t, slot):
-                d.wait()
+            for pred, d in in_dmas(wslot, t, slot):
+                @pl.when(pred)
+                def _(d=d):
+                    d.wait()
             out_dma(slot, last_w[slot]).wait()
 
             ysrc = srcb[0:1, :]                        # (1, 128)
