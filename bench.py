@@ -468,11 +468,12 @@ def main():
     except Exception as e:  # pragma: no cover
         scale_100k = f"failed: {e!r}"
     try:
-        # with_marginals=False in the driver run: the selected-inverse XLA
-        # program at 10k states measured 1669 s of COMPILE for a 336 ms
-        # run (2026-08-22, v5e; recorded in BASELINE.md round 5) — the S12
-        # at-scale figure is ledgered, not re-measured per round
-        scale_lc = bench_scale_lc(10_000)
+        # with_marginals=True is affordable since the single-launch
+        # blocked-Takahashi kernel (selected_inverse_mega) replaced the
+        # unrolled XLA program on the mega path: compile is O(1) in level
+        # count (~20 s vs 1669 s measured for the XLA Takahashi at 10k,
+        # 2026-08-22, v5e) — the S12 at-scale figure is now a live row
+        scale_lc = bench_scale_lc(10_000, with_marginals=True)
     except Exception as e:  # pragma: no cover
         scale_lc = f"failed: {e!r}"
     try:

@@ -684,6 +684,204 @@ def solve_mega(ext_p, Linv_p, y, sched, *, trans: bool,
     return call(sched, ext_p, Linv_p, y)
 
 
+# selected-inverse opcodes (host schedule builder:
+# supernodal._get_mega_sel_sched). Blocked Takahashi recurrence per column j
+# (reverse level order), expressed against the mega factor's stored panel
+# inverses so every step is a pure GEMM:
+#   ACC_F{N,T}/ACC_{N,T}  acc (=|+=) S[a1][:, :B]^{(T)} @ L[a2]
+#   FIN_OFF               S[wd] = -acc[:, :B] @ Linv[li]      (S_ij run end)
+#   DIAG0                 S[wd] = Linv[li]^T @ Linv[li]       (empty struct)
+#   FIN_DIAG              S[wd] = Linv^T Linv - acc @ Linv, symmetrized
+#   NOP                   hazard spacer (writes zeros to the trash row)
+(XOP_ACC_FN, XOP_ACC_FT, XOP_ACC_N, XOP_ACC_T,
+ XOP_FIN_OFF, XOP_DIAG0, XOP_FIN_DIAG, XOP_NOP) = range(8)
+
+
+@functools.lru_cache(maxsize=None)
+def _mega_sel_call(NE, NL, B, n_win, W, interpret):
+    """Single-launch blocked-Takahashi selected inverse over a mega-style
+    opcode schedule. ext/Linv are the LANE-PADDED (.., B, 128) factor arrays
+    from factorize_mega (read-only); S is the same (NE, B, 128) layout
+    (trash row NE-1), input/output aliased. Same manual-DMA pipeline and
+    hazard discipline as the factorization kernel: per-level phases
+    [off-diag ACC runs + FIN_OFF | NOP pad | diag ACC runs + FIN_DIAG |
+    NOP pad], reverse level order — every in-level read of an in-level
+    write crosses a >= _MEGA_PAD spacer."""
+    LANE = 128
+
+    def kernel(sched_ref, ext_ref, linv_ref, s_in, s_ref, sbuf,
+               a1b0, a2b0, lin0, out0,
+               a1b1, a2b1, lin1, out1,
+               acc, last_w, in_sem, out_sem, win_sem):
+        del s_in
+        bufs = ((a1b0, a2b0, lin0, out0), (a1b1, a2b1, lin1, out1))
+        TS = NE - 1
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+        eyeP = jnp.where(rows == cols, 1.0, 0.0).astype(jnp.float32)
+
+        def dot(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, (dims, ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        def win_dma(w, wslot):
+            return pltpu.make_async_copy(
+                sched_ref.at[w], sbuf.at[wslot], win_sem.at[wslot])
+
+        def in_dmas(wslot, t, slot):
+            a1b, a2b, linb, _ = bufs[slot]
+            op = sbuf[wslot, 0, t]
+            is_acc = op <= XOP_ACC_T
+            needs_lin = jnp.logical_and(op >= XOP_FIN_OFF,
+                                        op <= XOP_FIN_DIAG)
+            return (
+                (is_acc,
+                 pltpu.make_async_copy(s_ref.at[sbuf[wslot, 1, t]],
+                                       a1b, in_sem.at[slot, 0])),
+                (is_acc,
+                 pltpu.make_async_copy(ext_ref.at[sbuf[wslot, 2, t]],
+                                       a2b, in_sem.at[slot, 1])),
+                (needs_lin,
+                 pltpu.make_async_copy(linv_ref.at[sbuf[wslot, 3, t]],
+                                       linb, in_sem.at[slot, 2])),
+            )
+
+        def start_loads(wslot, t, slot):
+            for pred, d in in_dmas(wslot, t, slot):
+                @pl.when(pred)
+                def _(d=d):
+                    d.start()
+
+        def out_dma(slot, wd):
+            return pltpu.make_async_copy(bufs[slot][3], s_ref.at[wd],
+                                         out_sem.at[slot])
+
+        win_dma(0, 0).start()
+        for s in range(2):
+            last_w[s] = TS
+            out_dma(s, TS).start()
+
+        def step(wslot, t, slot):
+            a1b, a2b, linb, outb = bufs[slot]
+            op = sbuf[wslot, 0, t]
+            wd = sbuf[wslot, 4, t]
+            for pred, d in in_dmas(wslot, t, slot):
+                @pl.when(pred)
+                def _(d=d):
+                    d.wait()
+            out_dma(slot, last_w[slot]).wait()
+
+            @pl.when(op <= XOP_ACC_T)
+            def _():
+                a1s = a1b[...][:, :B]                   # (B, B)
+                un = dot(a1s, a2b[...], ((1,), (0,)))   # S_ik   @ L_kj
+                ut = dot(a1s, a2b[...], ((0,), (0,)))   # S_ki^T @ L_kj
+                is_tr = jnp.logical_or(op == XOP_ACC_FT, op == XOP_ACC_T)
+                u = jnp.where(is_tr, ut, un)
+                base = jnp.where(op <= XOP_ACC_FT,
+                                 jnp.zeros((B, LANE), jnp.float32), acc[...])
+                acc[...] = base + u
+
+            @pl.when(op == XOP_FIN_OFF)
+            def _():
+                outb[...] = -dot(acc[...][:, :B], linb[...], ((1,), (0,)))
+
+            @pl.when(op == XOP_DIAG0)
+            def _():
+                lins = linb[...][:, :B]
+                outb[...] = dot(lins, linb[...], ((0,), (0,)))
+
+            @pl.when(op == XOP_FIN_DIAG)
+            def _():
+                lins = linb[...][:, :B]
+                M = (dot(lins, linb[...], ((0,), (0,)))
+                     - dot(acc[...][:, :B], linb[...], ((1,), (0,))))
+                Mt = dot(M[:, :B], eyeP, ((0,), (0,)))  # M^T, lane-padded
+                outb[...] = 0.5 * (M + Mt)
+
+            @pl.when(op == XOP_NOP)
+            def _():
+                outb[...] = jnp.zeros((B, LANE), jnp.float32)
+
+            last_w[slot] = wd
+            out_dma(slot, wd).start()
+
+            @pl.when(t + 1 < W)
+            def _():
+                start_loads(wslot, t + 1, 1 - slot)
+
+        def outer(w, c):
+            wslot = w % 2
+            win_dma(w, wslot).wait()
+
+            @pl.when(w + 1 < n_win)
+            def _():
+                win_dma(w + 1, (w + 1) % 2).start()
+
+            start_loads(wslot, 0, 0)
+
+            def inner(u, c):
+                step(wslot, 2 * u, 0)
+                step(wslot, 2 * u + 1, 1)
+                return c
+
+            return jax.lax.fori_loop(0, W // 2, inner, c)
+
+        jax.lax.fori_loop(0, n_win, outer, 0)
+        for s in range(2):
+            out_dma(s, last_w[s]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NE, B, LANE), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # schedule windows
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ext (padded, RO)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Linv (padded, RO)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # S (donated)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=(
+            [pltpu.SMEM((2, 8, W), jnp.int32)]
+            # per-slot (S block, L block, Linv block, out) x 2 slots
+            + [pltpu.VMEM((B, 128), jnp.float32) for _ in range(8)]
+            + [
+                pltpu.VMEM((B, 128), jnp.float32),  # acc (T_ij runs)
+                pltpu.SMEM((2,), jnp.int32),        # last write targets
+                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        ),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+def selected_inverse_mega(ext_p, Linv_p, S, sched, interpret: bool = False):
+    """Blocked-Takahashi selected inverse in ONE pallas launch.
+
+    ext_p/Linv_p: the lane-padded (.., B, 128) factor from factorize_mega
+    (read-only). S: (NE, B, 128) selected-inverse storage, pre-seeded (zeros,
+    plus dense-tail blocks when present), donated; trash row at NE-1. sched:
+    (n_win, 8, W) int32 rows (op, a1, a2, li, wd, 0, 0, 0) from
+    supernodal._get_mega_sel_sched. Returns the updated S — every fill-
+    pattern block of H^{-1}, compile cost O(1) in levels (the XLA Takahashi
+    unrolls ~48 levels into a ~28-minute compile at 10k states; this kernel
+    compiles in ~20 s at any scale)."""
+    sched = jnp.asarray(sched)
+    n_win, eight, W = sched.shape
+    assert eight == 8 and W % 2 == 0
+    B = ext_p.shape[-2]
+    call = _mega_sel_call(ext_p.shape[0], Linv_p.shape[0], B, n_win, W,
+                          interpret)
+    return call(sched, ext_p, Linv_p, S)
+
+
 def gather_gemm(A, b_arr, dst_arr, a_idx, b_idx, d_idx, *, op: str,
                 combine: str, interpret: bool = False):
     """dst_arr[d_idx[i]] (-= | += | =) contract(A[a_idx[i]], b_arr[b_idx[i]]).

@@ -258,6 +258,7 @@ class SupernodalSolver:
         self._pallas_sched = None
         self._mega_sched = None
         self._mega_solve_sched = None
+        self._mega_sel_sched = None
 
     def _build_numeric_schedules(self, struct, parent):
         """Per-level static schedules for the block factorization/solves.
@@ -867,6 +868,123 @@ class SupernodalSolver:
                                interpret=interp)
         return y[:n, 0, :b]
 
+    # --------------------------------------------- selected-inverse MEGA
+    def _get_mega_sel_sched(self, W: int = None):
+        """Host schedule for the single-launch blocked-Takahashi selected
+        inverse (ops/pallas_supernodal.selected_inverse_mega): (n_win, 8, W)
+        int32 rows (op, a1, a2, li, wd, 0, 0, 0). REVERSE level order; per
+        level the phases are [per-(i,j) ACC runs + FIN_OFF | NOP pad |
+        per-j diag ACC runs + FIN_DIAG/DIAG0 | NOP pad]: phase-1 writes
+        (S_ij, column j in this level) are only read by phase 2, and
+        phase-2 writes (S_jj) only by later (lower) levels — every such
+        read sits >= _MEGA_PAD steps behind its write, which the kernel's
+        1-step-lookahead DMA pipeline requires (>= 3). Returns None when no
+        stream columns exist (fully-dense tail)."""
+        from . import pallas_supernodal as psn
+
+        if W is None:
+            W = psn._MEGA_W
+        cached = getattr(self, "_mega_sel_sched", None)
+        if cached is not None and (
+                cached is False or cached.shape[-1] == W):
+            return None if cached is False else cached
+
+        struct, off_id = self.struct, self.off_id
+        Z, T = self.n_blocks, self.n_blocks + 1
+        LID = self.n             # Linv identity row (unused lin loads)
+        PAD = psn._MEGA_PAD
+        NOP_ROW = (psn.XOP_NOP, Z, Z, LID, T)
+        rows: list = []
+
+        def nop(k=PAD):
+            rows.extend([NOP_ROW] * k)
+
+        for lv in reversed(self.levels):
+            scols = [j for j in lv if j < self.ns]
+            ph1 = False
+            for j in scols:
+                c = struct[j]
+                for i in c:
+                    first = True
+                    for k in c:
+                        if i == k:
+                            sid, tr = int(k), False
+                        elif i > k:
+                            sid, tr = off_id[(int(i), int(k))], False
+                        else:
+                            sid, tr = off_id[(int(k), int(i))], True
+                        op = ((psn.XOP_ACC_FT if tr else psn.XOP_ACC_FN)
+                              if first else
+                              (psn.XOP_ACC_T if tr else psn.XOP_ACC_N))
+                        first = False
+                        rows.append((op, sid, off_id[(int(k), j)], LID, T))
+                    rows.append((psn.XOP_FIN_OFF, Z, Z, int(j),
+                                 off_id[(int(i), j)]))
+                    ph1 = True
+            if ph1:
+                nop()
+            ph2 = False
+            for j in scols:
+                c = struct[j]
+                if len(c) == 0:
+                    rows.append((psn.XOP_DIAG0, Z, Z, int(j), int(j)))
+                else:
+                    first = True
+                    for i in c:
+                        oid = off_id[(int(i), j)]
+                        rows.append((
+                            psn.XOP_ACC_FT if first else psn.XOP_ACC_T,
+                            oid, oid, LID, T))
+                        first = False
+                    rows.append((psn.XOP_FIN_DIAG, Z, Z, int(j), int(j)))
+                ph2 = True
+            if ph2:
+                nop()
+        if not rows:
+            self._mega_sel_sched = False
+            return None
+        nop(max(PAD, (-len(rows)) % W))
+        if len(rows) % W:
+            nop(W - len(rows) % W)
+        arr = np.asarray(rows, np.int32).reshape(-1, W, 5)
+        arr = arr.transpose(0, 2, 1)                    # (n_win, 5, W)
+        arr = np.concatenate(
+            [arr, np.zeros((arr.shape[0], 3, W), np.int32)], 1)
+        self._mega_sel_sched = np.ascontiguousarray(arr)
+        return self._mega_sel_sched
+
+    def _selected_inverse_mega(self, factor, L_tail=None):
+        """Selected inverse off the mega factor as ONE pallas launch —
+        identical math to the XLA Takahashi loop in `selected_inverse` but
+        with compile cost O(1) in level count (the unrolled XLA program
+        costs ~28 min of compile at 10k states vs ~20 s here; measured
+        round 5). Every TRSM of the recurrence becomes a GEMM against the
+        panel-inverse table the mega factorization already maintains.
+        Returns S in the unpadded (n_blocks, b, b) storage layout."""
+        from . import pallas_supernodal as psn
+
+        ext_p, Linv_p = factor
+        b, n = self.b, self.n
+        interp = jax.default_backend() != "tpu"
+        NE = self.n_blocks + 2
+        S = jnp.zeros((NE, b, 128), jnp.float32)
+        if L_tail is not None:
+            nt = self.n_tail
+            Linv_t = jax.scipy.linalg.solve_triangular(
+                L_tail, jnp.eye(nt * b, dtype=jnp.float32), lower=True
+            )
+            S_dense = sb.matmul_hp(jnp.swapaxes(Linv_t, -1, -2), Linv_t)
+            S4 = S_dense.reshape(nt, b, nt, b).transpose(0, 2, 1, 3)
+            t_ids, t_ri, t_rj = self._tail_map
+            S = S.at[jnp.asarray(t_ids), :, :b].set(
+                S4[jnp.asarray(t_ri), jnp.asarray(t_rj)]
+            )
+        sched = self._get_mega_sel_sched(getattr(self, "_mega_W", None))
+        if sched is not None:
+            S = psn.selected_inverse_mega(ext_p, Linv_p, S, sched,
+                                          interpret=interp)
+        return S[: self.n_blocks, :, :b]
+
     # -------------------------------------- pallas_stream gather-GEMM mode
     def _factorize_pallas_stream(self, blocks):
         """The chunked instruction stream (compile O(1) in levels) with its
@@ -1288,6 +1406,11 @@ class SupernodalSolver:
         L_tail = None
         if self.n_tail:
             L, L_tail = L
+        if (self._mode == "mega" and isinstance(L, tuple)
+                and L[0].shape[-1] == 128):
+            # mega factor: single-launch blocked-Takahashi kernel (same
+            # math, O(1)-in-levels compile)
+            return self._selected_inverse_mega(L, L_tail)
         if isinstance(L, tuple):  # pallas/mega factor: (ext, Linv)
             L = L[0][: self.n_blocks]
             if L.shape[-1] != self.b:  # lane-padded mega factor

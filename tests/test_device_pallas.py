@@ -98,3 +98,33 @@ def test_compiled_pallas_selected_inverse_matches_stream(problem):
         # max rel at this scale on v5e — rounding, not logic (the same
         # modes agree to 7e-8 on chi^2 and 5e-4 at 60 states)
         assert rel < 5e-3, (grp, rel)
+
+
+def test_compiled_mega_selected_inverse_matches_stream(problem):
+    """Round-5: the single-launch blocked-Takahashi selected inverse
+    (selected_inverse_mega), COMPILED (Mosaic) off the compiled mega
+    factor, vs the unrolled XLA Takahashi off the stream factor."""
+    from gpslam_tpu.graph import graph as graphlib
+
+    graph, values = problem
+    lins = graphlib.linearize(graph, values)
+    lam = jnp.float32(0.01)
+    out = {}
+    for mode in ("mega", "stream"):
+        sn = AmalgamatedSupernodalSolver(
+            graph, values, ordering="nd", w_max=8, mode=mode, dense_tail=16,
+        )
+
+        @jax.jit
+        def marg(graph, values, lins, sn=sn):
+            blocks, _ = sn.assemble(graph, lins, values, lam)
+            S = sn.selected_inverse(sn.factorize(blocks))
+            return sn.diag_marginals(S, graph)
+
+        out[mode] = marg(graph, values, lins)
+    for grp in out["stream"]:
+        a = np.asarray(out["mega"][grp])
+        b = np.asarray(out["stream"][grp])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30)
+        # same rounding budget as the pallas_stream variant above
+        assert rel < 5e-3, (grp, rel)

@@ -119,13 +119,19 @@ def test_mega_solver_matches_unrolled(problem, dense_tail):
         assert rel < 2e-4, (grp, rel)
 
 
-def test_mega_selected_inverse_matches_unrolled(problem):
-    """selected_inverse accepts the mega factor tuple (ext, Linv)."""
+@pytest.mark.parametrize("dense_tail", [0, 2])
+def test_mega_selected_inverse_matches_unrolled(problem, dense_tail):
+    """Selected inverse off the mega factor runs the single-launch
+    blocked-Takahashi kernel (ops/pallas_supernodal.selected_inverse_mega,
+    round-5 successor to the unrolled XLA Takahashi whose compile is O(levels)
+    — 28 min at 10k states) — parity vs the unrolled path, including the
+    dense-tail seeding."""
     graph, values, lins = problem
     lam = jnp.float32(0.01)
     sn_u = AmalgamatedSupernodalSolver(graph, values, ordering="nd",
-                                       w_max=4, mode="unrolled")
-    sn_m = _mega_solver(graph, values, 0)
+                                       w_max=4, mode="unrolled",
+                                       dense_tail=dense_tail)
+    sn_m = _mega_solver(graph, values, dense_tail)
 
     def marg(sn):
         blocks, _ = sn.assemble(graph, lins, values, lam)
