@@ -301,16 +301,22 @@ def bench_scale_lc(n_states=10_000, compare_stream=True,
         row["parity_ok"] = bool(rel < 1e-3)
     if with_marginals:
         # selected inverse at scale: every per-variable covariance off the
-        # shipped factor (S12 perf row beyond the 600-state microbench)
-        def marg(blocks):
-            S = sn_auto.selected_inverse(sn_auto.factorize(blocks))
-            return sn_auto.diag_marginals(S, graph)
+        # shipped factor (S12 perf row beyond the 600-state microbench) —
+        # O(1)-in-levels compile on the mega path (selected_inverse_mega).
+        # Own try/except: a marginals failure must not sink the LM row.
+        try:
+            def marg(blocks):
+                S = sn_auto.selected_inverse(sn_auto.factorize(blocks))
+                return sn_auto.diag_marginals(S, graph)
 
-        blocks, _ = sn_auto.assemble(graph, lins, values, jnp.float32(1e-2))
-        t_marg, marg_compile_s = amortized(marg, (jax.device_put(blocks),),
-                                           reps=2)
-        row["selected_inverse_all_marginals_ms"] = round(t_marg * 1e3, 2)
-        row["selected_inverse_compile_s"] = round(marg_compile_s, 1)
+            blocks, _ = sn_auto.assemble(graph, lins, values,
+                                         jnp.float32(1e-2))
+            t_marg, marg_compile_s = amortized(
+                marg, (jax.device_put(blocks),), reps=2)
+            row["selected_inverse_all_marginals_ms"] = round(t_marg * 1e3, 2)
+            row["selected_inverse_compile_s"] = round(marg_compile_s, 1)
+        except Exception as e:  # pragma: no cover
+            row["selected_inverse_all_marginals_ms"] = f"failed: {e!r}"
     cpu_ref = _run_subprocess_json("run_cpu_reference_lc.py", n_states, 900)
     if cpu_ref:
         row["cpu_superlu_s"] = round(cpu_ref["wall_s"], 3)
@@ -479,8 +485,10 @@ def main():
     try:
         # 50k: where per-step work outgrows dispatch cost (r4 item 4);
         # auto mode only — the stream comparison at this scale costs
-        # minutes of bench budget for a known-slower path
-        scale_lc_50k = bench_scale_lc(50_000, compare_stream=False)
+        # minutes of bench budget for a known-slower path. Marginals at
+        # 50k ride the O(1)-compile mega selected inverse (round 5).
+        scale_lc_50k = bench_scale_lc(50_000, compare_stream=False,
+                                      with_marginals=True)
     except Exception as e:  # pragma: no cover
         scale_lc_50k = f"failed: {e!r}"
     try:
